@@ -1,0 +1,137 @@
+"""Soft (penalty) contact of collision spheres vs the two-layer heightfield.
+
+Replaces PhysX's TGS contact solver (reference sim cfg
+legged_robot_trajectory_tracking_config.py:362-373) with a compliant
+spring-damper normal force + regularized Coulomb friction, evaluated for all
+48 spheres of all envs in one batched gather + elementwise pass — the natural
+TPU formulation (no broadphase, no variable-size contact lists).
+
+Forces are accumulated per *report slot* (17 = 13 bodies + 4 feet) to mirror
+Isaac Gym's net ``contact_forces`` tensor used by terminations and reward
+terms (legged_robot_trajectory_tracking.py:198-216, reward_crawling.py:32-35).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..terrain.heightfield import TerrainArrays, sample_height_bilinear
+from .dynamics import BodyState
+from .model import Go1Model
+
+
+class ContactOut(NamedTuple):
+    f_ext: jnp.ndarray           # (nb, 6) world wrench [torque; force] at body COM
+    report: jnp.ndarray          # (num_report, 3) net world contact force per slot
+    sphere_pos: jnp.ndarray      # (ns, 3) world sphere centers
+    sphere_vel: jnp.ndarray      # (ns, 3) world sphere velocities
+
+
+def contact_forces(
+    model: Go1Model,
+    terrain: TerrainArrays,
+    env_tile,
+    env_terrain_origin,
+    bs: BodyState,
+    mm,                          # dynamics.MassMatrix (for apparent masses)
+    friction,                    # scalar (per env after vmap)
+    restitution,
+    stiffness: float,
+    damping: float,
+    dt: float,
+    max_depenetration_velocity: float = 1.0,
+) -> ContactOut:
+    """Spring-damper normal + stiction-capable friction.
+
+    Stability at dt=5 ms comes from *impulse capping* with per-contact
+    apparent masses m_eff = 1 / diag(J_p M^-1 J_p^T): the damping force and
+    the friction force are clamped to at most cancel the relevant relative
+    velocity within one substep (diagonal-mass implicit update).  This keeps
+    feet in true stiction under the friction cone, with zero iteration — the
+    batched TPU substitute for PhysX's TGS solver iterations.
+    """
+    f = bs.fk
+    sb = model.sphere_body
+    p_s = f.p[sb] + jnp.einsum("sij,sj->si", f.R[sb], model.sphere_offset)   # (ns,3)
+    r = model.sphere_radius
+    rel = p_s - f.com_w[sb]
+    v_s = bs.u[sb] + jnp.cross(bs.omega[sb], rel)                            # (ns,3)
+
+    # point Jacobians J_p = J_lin - skew(rel) @ J_ang  -> (ns, 3, NV)
+    from .kinematics import _skew
+    Jp = mm.J[sb, 3:6, :] - jnp.einsum("sij,sjk->sik", _skew(rel), mm.J[sb, :3, :])
+    ns = Jp.shape[0]
+    nv = Jp.shape[2]
+    X = jax.scipy.linalg.cho_solve((mm.chol, True), Jp.reshape(ns * 3, nv).T)  # (nv, ns*3)
+    W = jnp.einsum("sik,ksj->sij", Jp, X.reshape(nv, ns, 3))                 # (ns, 3, 3)
+
+    heights, grads = sample_height_bilinear(
+        terrain, env_tile, env_terrain_origin, p_s[None, :, :2]
+    )
+    heights, grads = heights[0], grads[0]                                    # (ns,2), (ns,2,2)
+    h_ceil, h_floor = heights[:, 0], heights[:, 1]
+
+    def surface_force(pen, normal):
+        # pen < 0 means penetrating; normal points away from the surface
+        n = normal / jnp.linalg.norm(normal, axis=-1, keepdims=True)
+        vn = jnp.sum(n * v_s, axis=-1)
+        active = pen < 0.0
+        w_n = jnp.einsum("si,sij,sj->s", n, W, n)
+        m_eff_n = 1.0 / jnp.maximum(w_n, 1e-6)
+        # spring + damping, damping impulse-capped (implicit in vn); the
+        # spring is capped to a max depenetration velocity of 1 m/s per
+        # substep, mirroring PhysX max_depenetration_velocity (reference
+        # config :370) — bounds energy injection under deep penetration
+        damp = jnp.minimum(
+            damping * jnp.where(vn > 0.0, 1.0 - restitution, 1.0),
+            m_eff_n / dt,
+        )
+        f_spring = jnp.minimum(-stiffness * pen, m_eff_n * max_depenetration_velocity / dt)
+        fn = jnp.maximum(f_spring - damp * vn, 0.0) * active
+
+        vt = v_s - n * vn[..., None]
+        vt_norm = jnp.maximum(jnp.linalg.norm(vt, axis=-1), 1e-8)
+        t_dir = vt / vt_norm[..., None]
+        w_t = jnp.einsum("si,sij,sj->s", t_dir, W, t_dir)
+        m_eff_t = 1.0 / jnp.maximum(w_t, 1e-6)
+        # friction: at most cancels slip velocity in one substep (stiction),
+        # clamped to the Coulomb cone
+        ft_mag = jnp.minimum(friction * fn, m_eff_t * vt_norm / dt)
+        ft = -t_dir * ft_mag[..., None]
+        return n * fn[..., None] + ft
+
+    # floor: surface z = h_floor, outward normal ~ (-dh/dx, -dh/dy, 1)
+    pen_floor = p_s[:, 2] - r - h_floor
+    n_floor = jnp.stack([-grads[:, 1, 0], -grads[:, 1, 1], jnp.ones_like(pen_floor)], axis=-1)
+    force = surface_force(pen_floor, n_floor)
+
+    if not terrain.is_plane:
+        # ceiling: obstacle occupies z > h_ceil, outward normal ~ (dh/dx, dh/dy, -1)
+        pen_ceil = h_ceil - (p_s[:, 2] + r)
+        n_ceil = jnp.stack([grads[:, 0, 0], grads[:, 0, 1], -jnp.ones_like(pen_ceil)], axis=-1)
+        force = force + surface_force(pen_ceil, n_ceil)
+
+    # accumulate per-body wrench at COM
+    torque = jnp.cross(p_s - f.com_w[sb], force)
+    f_ext = jnp.zeros((model.num_bodies, 6))
+    f_ext = f_ext.at[sb, :3].add(torque)
+    f_ext = f_ext.at[sb, 3:].add(force)
+
+    report = jnp.zeros((model.num_report_bodies, 3))
+    report = report.at[model.sphere_report].add(force)
+    return ContactOut(f_ext=f_ext, report=report, sphere_pos=p_s, sphere_vel=v_s)
+
+
+def joint_limit_torque(model: Go1Model, qj, qdj, stiffness: float, damping: float):
+    """Penalty torques keeping joints inside their URDF limits (PhysX enforces
+    these as hard constraints; soft here, plus a position clamp at integrate)."""
+    below = jnp.minimum(qj - model.dof_lower, 0.0)
+    above = jnp.maximum(qj - model.dof_upper, 0.0)
+    out = below + above
+    tau = -stiffness * out
+    tau = tau - damping * qdj * ((below < 0) & (qdj < 0))
+    tau = tau - damping * qdj * ((above > 0) & (qdj > 0))
+    return tau

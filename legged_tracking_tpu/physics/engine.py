@@ -1,0 +1,118 @@
+"""The fused physics control step.
+
+One call = ``decimation`` soft-contact dynamics substeps at ``sim.dt`` with
+per-substep torque recomputation — the TPU equivalent of the reference hot
+loop (legged_robot_trajectory_tracking.py:82-88: _compute_torques ->
+set_dof_actuation_force_tensor -> gym.simulate x4).  Single-env; the env layer
+vmaps it, and everything lives inside one jit with no host sync.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..terrain.heightfield import TerrainArrays
+from . import contact as _contact
+from . import dynamics
+from .model import Go1Model
+
+
+class PhysState(NamedTuple):
+    base_pos: jnp.ndarray   # (3,)
+    base_quat: jnp.ndarray  # (4,) xyzw
+    qj: jnp.ndarray         # (12,)
+    v: jnp.ndarray          # (18,) [lin world, ang world, joint rates]
+
+
+class PhysParams(NamedTuple):
+    """Per-env randomized physical parameters."""
+    friction: jnp.ndarray      # ()
+    restitution: jnp.ndarray   # ()
+    gravity: jnp.ndarray       # (3,) full gravity vector (incl. DR offset)
+    payload: jnp.ndarray       # () added base mass
+    com_offset: jnp.ndarray    # (3,) base COM displacement
+
+
+class StepAux(NamedTuple):
+    contact_report: jnp.ndarray  # (num_report, 3) mean net contact force over substeps
+    torques: jnp.ndarray         # (12,) last-substep applied torques
+    sphere_pos: jnp.ndarray      # (ns, 3) world (last substep)
+    sphere_vel: jnp.ndarray      # (ns, 3) world (last substep)
+
+
+def control_step(
+    model: Go1Model,
+    terrain: TerrainArrays,
+    env_tile,
+    env_terrain_origin,
+    state: PhysState,
+    torque_fn: Callable,        # (qj, qdj, carry) -> (tau (12,), carry)
+    torque_carry,
+    params: PhysParams,
+    sim_dt: float,
+    decimation: int,
+    contact_stiffness: float,
+    contact_damping: float,
+    joint_limit_stiffness: float,
+    joint_limit_damping: float,
+) -> tuple:
+    report_acc = jnp.zeros((model.num_report_bodies, 3))
+    c = None
+    tau = jnp.zeros(model.num_dof)
+    # Physics needs true f32 matmuls: TPU's default bf16 MXU passes are far
+    # too coarse for dynamics (policy nets elsewhere still run bf16-fast).
+    with jax.default_matmul_precision("float32"):
+        return _control_step_body(
+            model, terrain, env_tile, env_terrain_origin, state, torque_fn,
+            torque_carry, params, sim_dt, decimation, contact_stiffness,
+            contact_damping, joint_limit_stiffness, joint_limit_damping,
+            report_acc, c, tau,
+        )
+
+
+def _control_step_body(
+    model, terrain, env_tile, env_terrain_origin, state, torque_fn,
+    torque_carry, params, sim_dt, decimation, contact_stiffness,
+    contact_damping, joint_limit_stiffness, joint_limit_damping,
+    report_acc, c, tau,
+):
+    for _ in range(decimation):  # static unroll — fuses into one XLA computation
+        bs = dynamics.body_state(model, state.base_pos, state.base_quat, state.qj, state.v)
+        mm = dynamics.mass_matrix(model, bs, params.payload, params.com_offset, state.base_pos)
+        tau, torque_carry = torque_fn(state.qj, state.v[6:], torque_carry)
+        c = _contact.contact_forces(
+            model, terrain, env_tile, env_terrain_origin, bs, mm,
+            params.friction, params.restitution,
+            contact_stiffness, contact_damping, sim_dt,
+        )
+        tau_total = tau + _contact.joint_limit_torque(
+            model, state.qj, state.v[6:], joint_limit_stiffness, joint_limit_damping
+        )
+        qdd = dynamics.forward_dynamics(
+            model, state.base_pos, state.base_quat, state.qj, state.v,
+            tau_total, c.f_ext, params.gravity, bs, mm,
+        )
+        bp, bq, qj, v = dynamics.integrate(
+            state.base_pos, state.base_quat, state.qj, state.v, qdd, sim_dt
+        )
+        # PhysX-style hard limits: joint position & velocity clamps, plus a
+        # base-velocity safety ceiling (Isaac's max_linear/angular_velocity)
+        qj = jnp.clip(qj, model.dof_lower, model.dof_upper)
+        vj = jnp.clip(v[6:], -model.dof_vel_limit, model.dof_vel_limit)
+        v = jnp.concatenate([
+            jnp.clip(v[:3], -100.0, 100.0),
+            jnp.clip(v[3:6], -50.0, 50.0),
+            vj,
+        ])
+        state = PhysState(base_pos=bp, base_quat=bq, qj=qj, v=v)
+        report_acc = report_acc + c.report
+    aux = StepAux(
+        contact_report=report_acc / decimation,
+        torques=tau,
+        sphere_pos=c.sphere_pos,
+        sphere_vel=c.sphere_vel,
+    )
+    return state, torque_carry, aux

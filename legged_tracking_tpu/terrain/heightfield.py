@@ -1,0 +1,124 @@
+"""Runtime heightfield representation + batched queries.
+
+The world is a grid of (num_rows x num_cols) sub-terrain tiles, each a
+two-layer heightfield ``(2, h, w)`` — layer 0 ceiling, layer 1 floor, meters —
+mirroring the reference's ``height_samples_by_row_col`` (tunnel.py:84,202-208)
+and ``env_height_samples`` (legged_robot_trajectory_tracking.py:1827-1840).
+
+TPU design: tiles are stored once (deduplicated) as ``(T, 2, h, w)``; each env
+carries a tile index. Contact and height-scan queries are pure batched gathers
+(bilinear for contact), replacing PhysX trimesh collision and the reference's
+per-env python-loop ``stack_heights`` (legged_robot_trajectory_tracking.py:1967).
+Queries clamp to the tile window exactly like ``_get_heights`` does (:1951-1952).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class TerrainArrays(NamedTuple):
+    tiles: jnp.ndarray            # (T, 2, h, w) meters; [:,0]=ceiling, [:,1]=floor
+    env_tile: jnp.ndarray         # (N,) int32 tile index per env
+    env_origin: jnp.ndarray       # (N, 3) robot spawn origin (world)
+    env_terrain_origin: jnp.ndarray  # (N, 3) tile lower-corner origin (world)
+    horizontal_scale: float       # static
+    is_plane: bool                # static: plane mode (flat floor, no ceiling)
+
+
+def plane_terrain(num_envs: int, env_spacing: float = 3.0, ceiling: float = 1e3) -> TerrainArrays:
+    """Flat-plane world: a grid of robots, dummy 2x2 tiles (reference
+    _get_env_origins else-branch, legged_robot_trajectory_tracking.py:1848-1858)."""
+    num_cols = int(np.floor(np.sqrt(num_envs)))
+    num_rows = int(np.ceil(num_envs / num_cols))
+    xx, yy = np.meshgrid(np.arange(num_rows), np.arange(num_cols), indexing="ij")
+    origins = np.zeros((num_envs, 3), dtype=np.float32)
+    origins[:, 0] = env_spacing * xx.flatten()[:num_envs]
+    origins[:, 1] = env_spacing * yy.flatten()[:num_envs]
+    tiles = np.zeros((1, 2, 2, 2), dtype=np.float32)
+    tiles[:, 0] = ceiling
+    return TerrainArrays(
+        tiles=jnp.asarray(tiles),
+        env_tile=jnp.zeros(num_envs, dtype=jnp.int32),
+        env_origin=jnp.asarray(origins),
+        env_terrain_origin=jnp.asarray(origins * np.array([1.0, 1.0, 0.0], np.float32)),
+        horizontal_scale=1.0,
+        is_plane=True,
+    )
+
+
+def sample_height_bilinear(terrain: TerrainArrays, env_tile, env_terrain_origin, points_xy):
+    """Bilinear floor/ceiling heights + gradients at world-frame xy points.
+
+    Args:
+      env_tile: (...,) int tile index (per env, broadcast against points)
+      env_terrain_origin: (..., 3)
+      points_xy: (..., P, 2) world xy
+    Returns:
+      heights (..., P, 2) [ceiling, floor], grads (..., P, 2, 2) d h / d xy.
+    """
+    tiles = terrain.tiles
+    h, w = tiles.shape[2], tiles.shape[3]
+    hs = terrain.horizontal_scale
+    local = (points_xy - env_terrain_origin[..., None, :2]) / hs
+    x = jnp.clip(local[..., 0], 0.0, h - 1.001)
+    y = jnp.clip(local[..., 1], 0.0, w - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    t = tiles[env_tile]                                    # (..., 2, h, w)
+    t = jnp.moveaxis(t, -3, -1)                            # (..., h, w, 2)
+
+    def gather(xi, yi):
+        return jnp.take_along_axis(
+            jnp.take_along_axis(t, xi[..., None, None, None], axis=-3),
+            yi[..., None, None, None], axis=-2,
+        )[..., 0, 0, :]                                    # (..., P, 2)
+
+    # expand t to align with per-point gather: t is (..., h, w, 2); points add P
+    tP = t[..., None, :, :, :]                             # (..., 1, h, w, 2)
+    tP = jnp.broadcast_to(tP, x0.shape + t.shape[-3:])
+
+    def gP(xi, yi):
+        g = jnp.take_along_axis(tP, xi[..., None, None, None], axis=-3)
+        g = jnp.take_along_axis(g, yi[..., None, None, None], axis=-2)
+        return g[..., 0, 0, :]
+
+    h00 = gP(x0, y0)
+    h10 = gP(x0 + 1, y0)
+    h01 = gP(x0, y0 + 1)
+    h11 = gP(x0 + 1, y0 + 1)
+
+    hx0 = h00 * (1 - fy) + h01 * fy
+    hx1 = h10 * (1 - fy) + h11 * fy
+    height = hx0 * (1 - fx) + hx1 * fx                     # (..., P, 2)
+    dhdx = (hx1 - hx0) / hs
+    dhdy = ((h01 - h00) * (1 - fx) + (h11 - h10) * fx) / hs
+    grads = jnp.stack([dhdx, dhdy], axis=-1)               # (..., P, 2, 2)
+    return height, grads
+
+
+def sample_height_nearest(terrain: TerrainArrays, env_tile, env_terrain_origin, points_xy):
+    """Nearest(floor)-cell heights — exact semantics of the reference height
+    scan (``(points / horizontal_scale).long()`` truncation,
+    legged_robot_trajectory_tracking.py:1948-1956).
+
+    Returns (..., P, 2) [ceiling, floor].
+    """
+    tiles = terrain.tiles
+    h, w = tiles.shape[2], tiles.shape[3]
+    hs = terrain.horizontal_scale
+    local = (points_xy - env_terrain_origin[..., None, :2]) / hs
+    x0 = jnp.clip(local[..., 0].astype(jnp.int32), 0, h - 2)
+    y0 = jnp.clip(local[..., 1].astype(jnp.int32), 0, w - 2)
+    t = jnp.moveaxis(tiles[env_tile], -3, -1)              # (..., h, w, 2)
+    tP = t[..., None, :, :, :]
+    tP = jnp.broadcast_to(tP, x0.shape + t.shape[-3:])
+    g = jnp.take_along_axis(tP, x0[..., None, None, None], axis=-3)
+    g = jnp.take_along_axis(g, y0[..., None, None, None], axis=-2)
+    return g[..., 0, 0, :]
