@@ -1,0 +1,88 @@
+"""Throughput benchmark: env-steps/s of full PPO training at 4096 envs.
+
+Runs on whatever backend jax selects (the real TPU chip under the driver).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
+baseline is the reference's best logged training fps (1093.8 env-steps/s at
+4000 envs on one GPU, BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+
+    from legged_tracking_tpu.config import Cfg, config_go1
+    from legged_tracking_tpu.envs import LeggedEnv
+    from legged_tracking_tpu.learn import PPO, PPOArgs
+
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    import numpy as np
+    cfg = config_go1(Cfg())
+    cfg.env.num_envs = num_envs
+    cfg.terrain.mesh_type = "trimesh"
+    cfg.terrain.terrain_type = "single_path"
+    cfg.terrain.num_rows = 32
+    cfg.terrain.num_cols = 32
+    cfg.terrain.terrain_length = 4.0
+    cfg.terrain.terrain_width = 2.0
+    cfg.terrain.terrain_ratio_x = 0.9
+    cfg.terrain.terrain_ratio_y = 0.5
+    cfg.terrain.ceiling_height = 0.8
+    cfg.terrain.start_loc = 0.32
+    cfg.env.episode_length_s = 10.0
+    cfg.env.command_type = "xy"
+    cfg.terrain.measure_front_half = True
+    cfg.terrain.measured_points_x = np.linspace(-1, 1, 21)
+    cfg.terrain.measured_points_y = np.linspace(-0.5, 0.5, 11)
+    cfg.control.control_type = "actuator_net"
+    cfg.asset.penalize_contacts_on = ["thigh", "calf", "base"]
+    cfg.asset.terminate_after_contacts_on = []
+    cfg.rewards.terminal_body_height = 0.0
+    cfg.reward_scales.set("exploration_lin", 1.0)
+    cfg.reward_scales.set("exploration_yaw", 0.4)
+    cfg.commands.traj_function = "fixed_target"
+    cfg.commands.traj_length = 1
+    cfg.commands.switch_dist = 0.3
+    cfg.commands.base_x = 2.6
+
+    env = LeggedEnv(cfg)
+    alg = PPO(env, args=PPOArgs())
+    ts = alg.init(jax.random.key(0))
+    env_state = env._reset_jit(jax.random.key(1), True)
+    obs = env._observe_jit(env_state)
+
+    key = jax.random.key(2)
+
+    # warmup/compile
+    key, k = jax.random.split(key)
+    ts, env_state, obs, metrics = alg.train_iteration_jit(ts, env_state, obs, k)
+    jax.block_until_ready(metrics["value_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, k = jax.random.split(key)
+        ts, env_state, obs, metrics = alg.train_iteration_jit(ts, env_state, obs, k)
+    jax.block_until_ready(metrics["value_loss"])
+    dt = time.perf_counter() - t0
+
+    steps = iters * num_envs * alg.args.num_steps_per_env
+    fps = steps / dt
+    baseline = 1093.8
+    print(json.dumps({
+        "metric": "train_env_steps_per_s",
+        "value": round(fps, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(fps / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from .actor_critic import ACArgs, ActorCriticCSE  # noqa: F401
+from .ppo import PPO, PPOArgs, TrainState  # noqa: F401
+from .runner import Runner, RunnerArgs  # noqa: F401

@@ -1,0 +1,308 @@
+"""PPO with concurrent state estimation — one jitted train iteration.
+
+Functional re-expression of ``go1_gym_learn/ppo_cse/ppo.py`` +
+``rollout_storage.py``: rollout (T=24 steps via ``lax.scan`` over the fused
+env step), GAE returns, and the clipped-surrogate update with the adaptive-KL
+learning rate and the adaptation-module (CSE) supervised loss — all inside a
+single ``train_iteration`` jit so a full PPO iteration is ONE device program
+(the reference crosses the host boundary hundreds of times per iteration).
+
+Semantics parity notes:
+- timeout bootstrap: ``rew += gamma * value * time_out`` (ppo.py:86-89)
+- GAE with advantage normalization over the whole buffer (rollout_storage.py:76-90)
+- ONE random permutation shared across epochs (rollout_storage.py:102)
+- adaptive LR per minibatch: /1.5 if KL > 2*desired, *1.5 if < desired/2,
+  clamped to [1e-5, 1e-2] (ppo.py:112-124)
+- adaptation loss: MSE(adaptation(obs_history), true priv) on the first 80%
+  of each minibatch, test loss on the rest (ppo.py:164-185), separate Adam
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .actor_critic import (ActorCriticCSE, normal_entropy, normal_kl,
+                           normal_log_prob)
+
+
+@dataclass
+class PPOArgs:
+    """PPO_Args parity (ppo_cse/ppo.py:13-30)."""
+    value_loss_coef: float = 1.0
+    use_clipped_value_loss: bool = True
+    clip_param: float = 0.2
+    entropy_coef: float = 0.01
+    num_learning_epochs: int = 5
+    num_mini_batches: int = 4
+    learning_rate: float = 1e-3
+    adaptation_module_learning_rate: float = 1e-3
+    num_adaptation_module_substeps: int = 1
+    schedule: str = "adaptive"
+    gamma: float = 0.99
+    lam: float = 0.95
+    desired_kl: float = 0.01
+    max_grad_norm: float = 1.0
+    num_steps_per_env: int = 24
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    adapt_opt_state: Any
+    learning_rate: jnp.ndarray  # () dynamic (adaptive-KL)
+    iteration: jnp.ndarray      # () int32
+
+
+class Transition(NamedTuple):
+    obs: jnp.ndarray
+    privileged_obs: jnp.ndarray
+    obs_history: jnp.ndarray
+    actions: jnp.ndarray
+    rewards: jnp.ndarray
+    dones: jnp.ndarray
+    values: jnp.ndarray
+    log_prob: jnp.ndarray
+    mu: jnp.ndarray
+    sigma: jnp.ndarray
+
+
+class PPO:
+    """Builds the jitted train iteration around an env's pure step_fn."""
+
+    def __init__(self, env, ac_args=None, args: PPOArgs | None = None):
+        from .actor_critic import ACArgs
+        self.env = env
+        self.args = args or PPOArgs()
+        self.ac = ActorCriticCSE(
+            num_obs=env.num_obs,
+            num_privileged_obs=env.num_privileged_obs,
+            num_obs_history=env.num_obs_history,
+            num_actions=env.num_actions,
+            args=ac_args or ACArgs(),
+        )
+        # optimizers: dynamic-lr Adam for PPO; fixed-lr Adam for adaptation.
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(self.args.max_grad_norm),
+            optax.inject_hyperparams(optax.adam)(learning_rate=self.args.learning_rate),
+        )
+        self.adapt_tx = optax.adam(self.args.adaptation_module_learning_rate)
+        # NB: only train_state is donated. env_state/obs_dict leaves can alias
+        # each other (e.g. obs_history == obs for history length 1; XLA may
+        # alias identical outputs of the producing jit) and donating an aliased
+        # buffer twice is an XLA error.
+        self._train_iteration = jax.jit(self.train_iteration, donate_argnums=(0,))
+
+    def init(self, key) -> TrainState:
+        dummy_h = jnp.zeros((1, self.env.num_obs_history))
+        dummy_p = jnp.zeros((1, self.env.num_privileged_obs))
+        params = self.ac.init(key, dummy_h, dummy_p)
+        return TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            adapt_opt_state=self.adapt_tx.init(params),
+            learning_rate=jnp.asarray(self.args.learning_rate, jnp.float32),
+            iteration=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------- rollout
+    def rollout(self, params, env_state, obs_dict, key):
+        """T steps of (act -> env.step -> store) under lax.scan
+        (Runner.learn inner loop, ppo_cse/__init__.py:137-178).  ``obs_dict``
+        is carried across iterations like the reference's persistent obs."""
+        T = self.args.num_steps_per_env
+
+        def step(carry, key_t):
+            env_state, obs_dict = carry
+            h = obs_dict["obs_history"]
+            p = obs_dict["privileged_obs"]
+            mean, std = self.ac.apply(params, h, method=ActorCriticCSE.action_dist)
+            std = jnp.broadcast_to(std, mean.shape)
+            actions = mean + std * jax.random.normal(key_t, mean.shape)
+            log_prob = normal_log_prob(mean, std, actions)
+            value = self.ac.apply(params, h, p, method=ActorCriticCSE.evaluate)
+            new_env_state, out = self.env.step_fn(env_state, actions)
+            # timeout bootstrap (ppo_cse/ppo.py:86-89)
+            rew = out.rew + self.args.gamma * value * out.info["time_outs"]
+            tr = Transition(obs=out.obs, privileged_obs=p, obs_history=h,
+                            actions=actions, rewards=rew, dones=out.done,
+                            values=value, log_prob=log_prob, mu=mean, sigma=std)
+            metrics_t = {
+                "done": out.done,
+                "episode_sums": out.info["episode_sums"],
+                "episode_length": out.info["episode_length"],
+                "reached": out.info["reached"],
+                "goal_distance": out.info["goal_distance"],
+            }
+            next_obs = {"obs": out.obs, "privileged_obs": out.privileged_obs,
+                        "obs_history": out.obs_history}
+            return (new_env_state, next_obs), (tr, metrics_t)
+
+        keys = jax.random.split(key, T)
+        (env_state, last_obs), (traj, metrics) = jax.lax.scan(
+            step, (env_state, obs_dict), keys)
+        return env_state, last_obs, traj, metrics
+
+    # ----------------------------------------------------------------- GAE
+    def compute_gae(self, traj: Transition, last_values):
+        """(rollout_storage.compute_returns, :76-90)."""
+        g, lam = self.args.gamma, self.args.lam
+
+        def scan_fn(adv, t):
+            rew, done, value, next_value = t
+            nonterm = 1.0 - done
+            delta = rew + nonterm * g * next_value - value
+            adv = delta + nonterm * g * lam * adv
+            return adv, adv
+
+        next_values = jnp.concatenate([traj.values[1:], last_values[None]], axis=0)
+        _, advs = jax.lax.scan(
+            scan_fn, jnp.zeros_like(last_values),
+            (traj.rewards, traj.dones.astype(jnp.float32), traj.values, next_values),
+            reverse=True)
+        returns = advs + traj.values
+        norm_advs = (advs - advs.mean()) / (advs.std() + 1e-8)
+        return returns, norm_advs
+
+    # -------------------------------------------------------------- update
+    def _minibatch_update(self, carry, batch):
+        params, opt_state, adapt_opt_state, lr = carry
+        a = self.args
+        h, p, actions, target_values, advantages, returns, old_lp, old_mu, old_sigma = batch
+
+        def loss_fn(prms):
+            mean, std = self.ac.apply(prms, h, method=ActorCriticCSE.action_dist)
+            log_prob = normal_log_prob(mean, std, actions)
+            value = self.ac.apply(prms, h, p, method=ActorCriticCSE.evaluate)
+            entropy = normal_entropy(std)
+
+            ratio = jnp.exp(log_prob - old_lp)
+            surr = -advantages * ratio
+            surr_clipped = -advantages * jnp.clip(ratio, 1.0 - a.clip_param, 1.0 + a.clip_param)
+            surrogate_loss = jnp.mean(jnp.maximum(surr, surr_clipped))
+
+            if a.use_clipped_value_loss:
+                v_clipped = target_values + jnp.clip(value - target_values,
+                                                     -a.clip_param, a.clip_param)
+                v_loss = jnp.mean(jnp.maximum(jnp.square(value - returns),
+                                              jnp.square(v_clipped - returns)))
+            else:
+                v_loss = jnp.mean(jnp.square(returns - value))
+
+            loss = surrogate_loss + a.value_loss_coef * v_loss - a.entropy_coef * jnp.mean(entropy)
+            kl = jnp.mean(normal_kl(old_mu, old_sigma, mean, std))
+            return loss, (surrogate_loss, v_loss, kl)
+
+        (loss, (surr_l, v_l, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        # adaptive-KL LR (ppo.py:110-124), applied to THIS minibatch's step
+        if a.desired_kl is not None and a.schedule == "adaptive":
+            lr = jnp.where(kl > a.desired_kl * 2.0, jnp.maximum(1e-5, lr / 1.5), lr)
+            lr = jnp.where((kl < a.desired_kl / 2.0) & (kl > 0.0),
+                           jnp.minimum(1e-2, lr * 1.5), lr)
+        inject = opt_state[1]._replace(
+            hyperparams={**opt_state[1].hyperparams, "learning_rate": lr})
+        updates, opt_state_new = self.tx.update(grads, (opt_state[0], inject), params)
+        params = optax.apply_updates(params, updates)
+
+        # adaptation-module substep (ppo.py:160-190): 80/20 train/test split
+        n_train = h.shape[0] // 5 * 4
+
+        def adapt_loss_fn(prms):
+            pred = self.ac.apply(prms, h, method=ActorCriticCSE.adapt)
+            train_loss = jnp.mean(jnp.square(pred[:n_train] - p[:n_train]))
+            test_loss = jnp.mean(jnp.square(pred[n_train:] - p[n_train:]))
+            return train_loss, test_loss
+
+        for _ in range(a.num_adaptation_module_substeps):
+            (ad_loss, ad_test), ad_grads = jax.value_and_grad(
+                adapt_loss_fn, has_aux=True)(params)
+            ad_updates, adapt_opt_state = self.adapt_tx.update(
+                ad_grads, adapt_opt_state, params)
+            params = optax.apply_updates(params, ad_updates)
+
+        stats = jnp.stack([v_l, surr_l, ad_loss, ad_test, kl])
+        return (params, opt_state_new, adapt_opt_state, lr), stats
+
+    def update(self, train_state: TrainState, traj: Transition, returns, advantages, key):
+        a = self.args
+        T, N = traj.rewards.shape
+        B = T * N
+        mb = B // a.num_mini_batches
+        perm = jax.random.permutation(key, a.num_mini_batches * mb)
+
+        flat = lambda x: x.reshape((B,) + x.shape[2:])
+        data = (flat(traj.obs_history), flat(traj.privileged_obs), flat(traj.actions),
+                flat(traj.values), flat(advantages), flat(returns),
+                flat(traj.log_prob), flat(traj.mu), flat(traj.sigma))
+
+        # same permutation every epoch (rollout_storage.py:102); gather each
+        # minibatch inside the scan to avoid materializing epochs x batch
+        idx = jnp.concatenate([perm.reshape(a.num_mini_batches, mb)] * a.num_learning_epochs,
+                              axis=0)  # (epochs*num_mb, mb)
+
+        def body(carry, mb_idx):
+            batch = jax.tree.map(lambda x: x[mb_idx], data)
+            return self._minibatch_update(carry, batch)
+
+        carry = (train_state.params, train_state.opt_state,
+                 train_state.adapt_opt_state, train_state.learning_rate)
+        carry, stats = jax.lax.scan(body, carry, idx)
+        params, opt_state, adapt_opt_state, lr = carry
+        mean_stats = jnp.mean(stats, axis=0)
+        metrics = {
+            "value_loss": mean_stats[0],
+            "surrogate_loss": mean_stats[1],
+            "adaptation_loss": mean_stats[2],
+            "adaptation_test_loss": mean_stats[3],
+            "kl_mean": mean_stats[4],
+            "learning_rate": lr,
+        }
+        return TrainState(params=params, opt_state=opt_state,
+                          adapt_opt_state=adapt_opt_state, learning_rate=lr,
+                          iteration=train_state.iteration + 1), metrics
+
+    # ------------------------------------------------------- one iteration
+    def train_iteration(self, train_state: TrainState, env_state, obs_dict, key):
+        k_roll, k_update = jax.random.split(key)
+        env_state, last_obs, traj, roll_metrics = self.rollout(
+            train_state.params, env_state, obs_dict, k_roll)
+        last_values = self.ac.apply(train_state.params, last_obs["obs_history"],
+                                    last_obs["privileged_obs"],
+                                    method=ActorCriticCSE.evaluate)
+        returns, advantages = self.compute_gae(traj, last_values)
+        train_state, metrics = self.update(train_state, traj, returns, advantages, k_update)
+
+        # episodic metrics: done-masked means over the rollout window
+        done = roll_metrics["done"]                       # (T, N)
+        n_done = jnp.maximum(jnp.sum(done), 1)
+        dmask = done.astype(jnp.float32)
+
+        def dmean(x):
+            return jnp.sum(x * dmask) / n_done
+
+        ep_sums = roll_metrics["episode_sums"]            # (T, N, K)
+        metrics["num_episodes"] = jnp.sum(done)
+        metrics["mean_reward_per_step"] = jnp.mean(traj.rewards)
+        metrics["episode_sums_mean"] = (
+            jnp.sum(ep_sums * dmask[..., None], axis=(0, 1)) / n_done)
+        metrics["episode_length_mean"] = dmean(roll_metrics["episode_length"].astype(jnp.float32))
+        metrics["reached_mean"] = dmean(roll_metrics["reached"].astype(jnp.float32))
+        metrics["goal_distance_mean"] = dmean(roll_metrics["goal_distance"])
+        return train_state, env_state, last_obs, metrics
+
+    def train_iteration_jit(self, train_state, env_state, obs_dict, key):
+        return self._train_iteration(train_state, env_state, obs_dict, key)
+
+    # ------------------------------------------------------------ policies
+    def act_inference(self, params, obs_history):
+        mean, _ = self.ac.apply(params, obs_history, method=ActorCriticCSE.action_dist)
+        return mean
+
+    def act_teacher(self, params, obs_history, privileged_obs):
+        return self.ac.apply(params, obs_history, privileged_obs,
+                             method=ActorCriticCSE.act_teacher)

@@ -1,0 +1,151 @@
+"""Training runner: host loop around the jitted PPO iteration.
+
+Mirrors the reference Runner (go1_gym_learn/ppo_cse/__init__.py:66-345):
+learn() drives iterations, logs episodic metrics + fps, checkpoints every
+``save_interval`` iterations, and applies the fix-target curriculum
+(update_curriculum, legged_robot_trajectory_tracking.py:186-196) from the
+device-side reached statistics.
+
+One host<->device sync per iteration (the metrics fetch) — the entire
+rollout+update is a single device program.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from collections import deque
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .actor_critic import ACArgs
+from .ppo import PPO, PPOArgs
+
+
+@dataclass
+class RunnerArgs:
+    """RunnerArgs parity (ppo_cse/__init__.py:47-64)."""
+    num_steps_per_env: int = 24
+    max_iterations: int = 1500
+    save_interval: int = 400
+    log_freq: int = 10
+    resume: str = ""
+    resume_curriculum: bool = True
+
+
+class Runner:
+    def __init__(self, env, runner_args: RunnerArgs | None = None,
+                 ppo_args: PPOArgs | None = None, ac_args: ACArgs | None = None,
+                 logdir: str | None = None, log_wandb: bool = False, seed: int = 1):
+        self.env = env
+        self.runner_args = runner_args or RunnerArgs()
+        ppo_args = ppo_args or PPOArgs()
+        ppo_args.num_steps_per_env = self.runner_args.num_steps_per_env
+        self.alg = PPO(env, ac_args=ac_args, args=ppo_args)
+        self.logdir = logdir
+        self.log_wandb = log_wandb
+        if logdir:
+            os.makedirs(logdir, exist_ok=True)
+            # config snapshot (parameters.pkl analogue, ppo_cse/__init__.py:81-84)
+            with open(os.path.join(logdir, "parameters.pkl"), "wb") as f:
+                pickle.dump(env.cfg, f)
+
+        key = jax.random.key(seed)
+        self.key, k_init, k_env = jax.random.split(key, 3)
+        self.train_state = self.alg.init(k_init)
+        if self.runner_args.resume:
+            self.load(self.runner_args.resume)
+        self.env_state = env._reset_jit(k_env, True)
+        self.obs_dict = env._observe_jit(self.env_state)
+        self.tot_timesteps = 0
+        self._reached_window = deque(maxlen=4000)
+        self.history = []
+
+    # ------------------------------------------------------------------ io
+    def save(self, path: str):
+        params_np = jax.tree.map(np.asarray, self.train_state.params)
+        with open(path, "wb") as f:
+            pickle.dump({
+                "params": params_np,
+                "learning_rate": float(self.train_state.learning_rate),
+                "iteration": int(self.train_state.iteration),
+                "target_dist": float(self.env_state.target_dist)
+                if self.env_state is not None else 0.0,
+            }, f)
+
+    def load(self, path: str):
+        with open(path, "rb") as f:
+            ckpt = pickle.load(f)
+        self.train_state = self.train_state._replace(
+            params=jax.tree.map(jnp.asarray, ckpt["params"]),
+            learning_rate=jnp.asarray(ckpt["learning_rate"]),
+            iteration=jnp.asarray(ckpt["iteration"], jnp.int32))
+
+    # ----------------------------------------------------------------- loop
+    def learn(self, num_learning_iterations: int, eval_freq: int = 100,
+              verbose: bool = True):
+        env = self.env
+        cfg = env.cfg
+        t0 = time.time()
+        steps_per_iter = env.num_envs * self.alg.args.num_steps_per_env
+        for it in range(num_learning_iterations):
+            self.key, k = jax.random.split(self.key)
+            self.train_state, self.env_state, self.obs_dict, metrics = \
+                self.alg.train_iteration_jit(self.train_state, self.env_state,
+                                             self.obs_dict, k)
+            self.tot_timesteps += steps_per_iter
+
+            if (it % self.runner_args.log_freq == 0) or it == num_learning_iterations - 1:
+                m = jax.tree.map(np.asarray, metrics)
+                fps = self.tot_timesteps / (time.time() - t0)
+                ep_means = dict(zip(["rew_" + n for n in env.metric_names],
+                                    m.pop("episode_sums_mean")))
+                rec = {k2: float(v) for k2, v in m.items()}
+                rec.update({k2: float(v) for k2, v in ep_means.items()})
+                rec.update({"it": it, "fps": fps, "timesteps": self.tot_timesteps})
+                self.history.append(rec)
+                if verbose:
+                    print(f"it {it:5d} | fps {fps:9.0f} | rew {rec.get('rew_total', 0):8.3f} | "
+                          f"eplen {rec['episode_length_mean']:7.1f} | "
+                          f"reached {rec['reached_mean']:.3f} | "
+                          f"vloss {rec['value_loss']:.4f} | lr {rec['learning_rate']:.2e}")
+                if self.log_wandb:
+                    import wandb
+                    wandb.log(rec, step=it)
+                if self.logdir:
+                    with open(os.path.join(self.logdir, "metrics.jsonl"), "a") as f:
+                        f.write(json.dumps(rec) + "\n")
+
+                # fix-target curriculum (reference update_curriculum, :186-196)
+                if cfg.curriculum_thresholds.cl_fix_target:
+                    n_eps = int(m["num_episodes"])
+                    self._reached_window.extend(
+                        [float(m["reached_mean"])] * max(n_eps, 0))
+                    if (len(self._reached_window) >= 4000 and
+                            np.mean(self._reached_window) >
+                            cfg.curriculum_thresholds.cl_switch_threshold):
+                        new_dist = min(
+                            float(self.env_state.target_dist)
+                            + cfg.curriculum_thresholds.cl_switch_delta,
+                            cfg.curriculum_thresholds.cl_goal_target_dist)
+                        self.env_state = self.env_state._replace(
+                            target_dist=jnp.asarray(new_dist, jnp.float32))
+                        self._reached_window.clear()
+
+            if self.logdir and (it % self.runner_args.save_interval == 0) and it > 0:
+                self.save(os.path.join(self.logdir, f"ac_weights_{it:06d}.pkl"))
+                self.save(os.path.join(self.logdir, "ac_weights_last.pkl"))
+
+        if self.logdir:
+            self.save(os.path.join(self.logdir, "ac_weights_last.pkl"))
+        return self.history
+
+    # --------------------------------------------------------------- export
+    def get_inference_policy(self):
+        params = self.train_state.params
+        return jax.jit(lambda obs_history: self.alg.act_inference(params, obs_history))

@@ -1,0 +1,129 @@
+"""Environment-layer tests: obs dims, terrain build, stepping, auto-reset.
+
+The reference has no test suite (SURVEY.md §4); these encode its runtime
+asserts (obs width vs num_observations, legged_robot_trajectory_tracking.py:475)
+plus JAX-specific invariants (jit purity, finite outputs, auto-reset).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legged_tracking_tpu.config import Cfg, config_go1
+from legged_tracking_tpu.envs import LeggedEnv
+from legged_tracking_tpu.terrain.tunnel import build_terrain
+
+
+def make_cfg(terrain="plane", command_type="xy", front_half=True, num_envs=4):
+    cfg = config_go1(Cfg())
+    cfg.env.num_envs = num_envs
+    cfg.env.command_type = command_type
+    cfg.terrain.measure_front_half = front_half
+    cfg.control.control_type = "P"
+    cfg.env.episode_length_s = 2.0
+    if terrain == "plane":
+        cfg.terrain.mesh_type = "plane"
+    else:
+        cfg.terrain.mesh_type = "trimesh"
+        cfg.terrain.terrain_type = terrain
+        cfg.terrain.num_rows = 2
+        cfg.terrain.num_cols = 2
+        cfg.terrain.terrain_length = 4.0
+        cfg.terrain.terrain_width = 2.0
+        cfg.terrain.terrain_ratio_x = 0.9
+        cfg.terrain.terrain_ratio_y = 0.5
+        cfg.terrain.ceiling_height = 0.8
+        cfg.terrain.start_loc = 0.32
+    return cfg
+
+
+def test_obs_dims_match_reference():
+    """Obs widths must reproduce scripts/train.py:51-60 (261/503 xy, 265/507 6dof)."""
+    for ct, fh, expect in [("xy", True, 261), ("xy", False, 503),
+                           ("6dof", True, 265), ("6dof", False, 507)]:
+        cfg = make_cfg(command_type=ct, front_half=fh)
+        env = LeggedEnv(cfg)
+        assert env.num_obs == expect, (ct, fh, env.num_obs, expect)
+    # blind variant: 41 scalars for xy
+    cfg = make_cfg()
+    cfg.env.observe_heights = False
+    env = LeggedEnv(cfg)
+    assert env.num_obs == 41
+
+
+def test_tunnel_terrain_build():
+    cfg = make_cfg(terrain="single_path", num_envs=8)
+    t = build_terrain(cfg, 8, seed=3)
+    tiles = np.asarray(t.tiles)
+    assert tiles.shape == (4, 2, 80, 40)
+    # ceiling everywhere >= 0.05 above floor-level zero and <= ceiling height
+    assert tiles[:, 0].min() >= 0.05 - 1e-6
+    assert tiles[:, 0].max() <= cfg.terrain.ceiling_height + 1e-6
+    # floor border walls at 0.5
+    assert np.allclose(tiles[:, 1, 0, :], 0.5)
+    # spawn region inside the window must be (mostly) flat floor
+    origins = np.asarray(t.env_origin)
+    assert origins.shape == (8, 3)
+    # env origin local x = (0.5 - 0.32) * 4 = 0.72 m
+    assert np.allclose(origins[0, 0], 0.72)
+
+
+def test_step_and_autoreset():
+    cfg = make_cfg(num_envs=4)
+    env = LeggedEnv(cfg)
+    obs = env.reset(randomize_ep_len=False)
+    assert obs["obs"].shape == (4, env.num_obs)
+    assert obs["privileged_obs"].shape == (4, env.num_privileged_obs)
+    a = jnp.zeros((4, 12))
+    saw_done = False
+    max_len = int(cfg.env.max_episode_length)
+    for i in range(max_len + 2):
+        od, rew, done, info = env.step(a)
+        assert bool(jnp.all(jnp.isfinite(od["obs"])))
+        assert bool(jnp.all(jnp.isfinite(rew)))
+        if bool(jnp.any(done)):
+            saw_done = True
+    assert saw_done  # episode timeout must fire
+    # after timeout resets, episode lengths must have wrapped
+    assert int(jnp.max(env.state.episode_length)) <= max_len + 1
+
+
+def test_tunnel_env_steps():
+    cfg = make_cfg(terrain="single_path", num_envs=4)
+    env = LeggedEnv(cfg)
+    env.reset(randomize_ep_len=False)
+    a = jnp.zeros((4, 12))
+    for _ in range(5):
+        od, rew, done, info = env.step(a)
+    # robot must stay between floor and ceiling
+    z = np.asarray(env.state.phys.base_pos[:, 2])
+    assert (z > -0.05).all() and (z < 1.0).all()
+    # height scan must see the ceiling (top layer < 1.0 somewhere)
+    h = env._get_heights(env.state.phys.base_pos,
+                         jnp.zeros((4, 3)))
+    assert np.asarray(h)[:, 0].max() <= cfg.terrain.ceiling_height + 1e-5
+
+
+def test_reward_scales_wired():
+    cfg = make_cfg()
+    cfg.reward_scales.set("exploration_lin", 1.0)
+    cfg.reward_scales.set("exploration_yaw", 0.4)
+    env = LeggedEnv(cfg)
+    assert "exploration_lin" in env.reward_names
+    env.reset(randomize_ep_len=False)
+    od, rew, done, info = env.step(jnp.zeros((4, 12)))
+    assert info["episode_sums"].shape == (4, len(env.metric_names))
+
+
+def test_step_deterministic():
+    """Same state + action -> identical results (pure function)."""
+    cfg = make_cfg(num_envs=2)
+    env = LeggedEnv(cfg)
+    env.reset(randomize_ep_len=False)
+    s0 = env.state
+    a = jnp.full((2, 12), 0.1)
+    s1, out1 = env.step_fn(s0, a)
+    s2, out2 = env.step_fn(s0, a)
+    assert np.allclose(np.asarray(out1.obs), np.asarray(out2.obs))
+    assert np.allclose(np.asarray(s1.phys.base_pos), np.asarray(s2.phys.base_pos))

@@ -1,0 +1,79 @@
+"""PPO learner tests: one fused iteration runs, params update, metrics finite."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legged_tracking_tpu.config import Cfg, config_go1
+from legged_tracking_tpu.envs import LeggedEnv
+from legged_tracking_tpu.learn import PPO, PPOArgs
+
+
+def make_env(num_envs=8):
+    cfg = config_go1(Cfg())
+    cfg.env.num_envs = num_envs
+    cfg.terrain.mesh_type = "plane"
+    cfg.env.command_type = "xy"
+    cfg.terrain.measure_front_half = True
+    cfg.control.control_type = "P"
+    cfg.env.episode_length_s = 2.0
+    cfg.reward_scales.set("exploration_lin", 1.0)
+    cfg.reward_scales.set("exploration_yaw", 0.4)
+    return LeggedEnv(cfg)
+
+
+def test_train_iteration():
+    env = make_env()
+    alg = PPO(env, args=PPOArgs(num_steps_per_env=8, num_mini_batches=2,
+                                num_learning_epochs=2))
+    ts = alg.init(jax.random.key(0))
+    env_state = env.reset_fn(jax.random.key(1), False)
+    obs = jax.jit(env.observe)(env_state)
+
+    p0 = jax.tree.leaves(ts.params)[0].copy()
+    ts2, env_state2, obs2, metrics = alg.train_iteration_jit(
+        ts, env_state, obs, jax.random.key(2))
+    for k, v in metrics.items():
+        assert bool(jnp.all(jnp.isfinite(v))), k
+    # params actually moved
+    p1 = jax.tree.leaves(ts2.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    # env advanced by T steps
+    assert int(env_state2.common_step) == 8
+    # a second iteration chains
+    ts3, env_state3, obs3, metrics3 = alg.train_iteration_jit(
+        ts2, env_state2, obs2, jax.random.key(3))
+    assert bool(jnp.isfinite(metrics3["value_loss"]))
+
+
+def test_gae_matches_reference_recursion():
+    """GAE vs a direct numpy port of rollout_storage.compute_returns (:76-90)."""
+    env = make_env(num_envs=2)
+    alg = PPO(env, args=PPOArgs(num_steps_per_env=5))
+    T, N = 6, 3
+    rng = np.random.RandomState(0)
+    rewards = rng.randn(T, N).astype(np.float32)
+    dones = (rng.rand(T, N) < 0.2)
+    values = rng.randn(T, N).astype(np.float32)
+    last_values = rng.randn(N).astype(np.float32)
+
+    from legged_tracking_tpu.learn.ppo import Transition
+    traj = Transition(obs=None, privileged_obs=None, obs_history=None,
+                      actions=None, rewards=jnp.asarray(rewards),
+                      dones=jnp.asarray(dones), values=jnp.asarray(values),
+                      log_prob=None, mu=None, sigma=None)
+    returns, norm_adv = alg.compute_gae(traj, jnp.asarray(last_values))
+
+    g, lam = alg.args.gamma, alg.args.lam
+    adv = np.zeros(N, np.float32)
+    ret_np = np.zeros((T, N), np.float32)
+    for t in reversed(range(T)):
+        nv = last_values if t == T - 1 else values[t + 1]
+        nonterm = 1.0 - dones[t]
+        delta = rewards[t] + nonterm * g * nv - values[t]
+        adv = delta + nonterm * g * lam * adv
+        ret_np[t] = adv + values[t]
+    assert np.allclose(np.asarray(returns), ret_np, atol=1e-5)
+    a = ret_np - values
+    a = (a - a.mean()) / (a.std() + 1e-8)
+    assert np.allclose(np.asarray(norm_adv), a, atol=1e-4)
