@@ -15,14 +15,26 @@ import jax.numpy as jnp
 from ..utils.math import get_scale_shift
 
 
+def command_dim(cfg) -> int:
+    if cfg.env.command_type in ("xy", "xy_norm"):
+        return 2
+    if cfg.env.command_type == "6dof":
+        return 6
+    return cfg.commands.num_commands           # velocity task (15-dim)
+
+
 def num_scalar_obs(cfg) -> int:
     n = 3 + 12 + 12 + cfg.env.num_actions      # gravity, dof pos/vel, actions
     if cfg.env.observe_command:
-        n += 2 if cfg.env.command_type in ("xy", "xy_norm") else 6
+        n += command_dim(cfg)
     if cfg.env.timestep_in_obs:
         n += 1
     if cfg.env.observe_two_prev_actions:
         n += cfg.env.num_actions
+    if cfg.env.observe_timing_parameter:
+        n += 1
+    if cfg.env.observe_clock_inputs:
+        n += 4
     if cfg.env.observe_vel:
         n += 6
     if cfg.env.observe_only_ang_vel:
@@ -106,12 +118,17 @@ def scalar_obs(cfg, *, projected_gravity, commands, dof_pos, default_dof_pos,
 
 
 def assemble_obs(cfg, scalars, heights, *, base_lin_vel, base_ang_vel,
-                 base_quat, last_actions, foot_contact_z):
+                 base_quat, last_actions, foot_contact_z,
+                 gait_indices=None, clock_inputs=None):
     parts = [scalars]
     if cfg.env.observe_heights:
         parts.append(heights)
     if cfg.env.observe_two_prev_actions:
         parts.append(last_actions)
+    if cfg.env.observe_timing_parameter:
+        parts.append(gait_indices[:, None])
+    if cfg.env.observe_clock_inputs:
+        parts.append(clock_inputs)
     obs = jnp.concatenate(parts, axis=-1)
     if cfg.env.observe_vel:
         obs = jnp.concatenate([base_lin_vel * cfg.obs_scales.lin_vel,
@@ -135,7 +152,7 @@ def noise_scale_vec(cfg) -> np.ndarray:
     ns, lvl, os_ = cfg.noise_scales, cfg.noise.noise_level, cfg.obs_scales
     vec = [np.ones(3) * ns.gravity * lvl]
     if cfg.env.observe_command:
-        vec.append(np.zeros(2 if cfg.env.command_type in ("xy", "xy_norm") else 6))
+        vec.append(np.zeros(command_dim(cfg)))
     vec += [
         np.ones(12) * ns.dof_pos * lvl * os_.dof_pos,
         np.ones(12) * ns.dof_vel * lvl * os_.dof_vel,
@@ -147,6 +164,10 @@ def noise_scale_vec(cfg) -> np.ndarray:
         vec.append(np.zeros(num_height_obs(cfg)))
     if cfg.env.observe_two_prev_actions:
         vec.append(np.zeros(cfg.env.num_actions))
+    if cfg.env.observe_timing_parameter:
+        vec.append(np.zeros(1))
+    if cfg.env.observe_clock_inputs:
+        vec.append(np.zeros(4))
     v = np.concatenate(vec)
     if cfg.env.observe_vel:
         v = np.concatenate([np.ones(3) * ns.lin_vel * lvl * os_.lin_vel,

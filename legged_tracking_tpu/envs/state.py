@@ -78,3 +78,15 @@ class EnvState(NamedTuple):
     # --- rng ---
     rng: jnp.ndarray                # (N,) per-env PRNG keys
     global_rng: jnp.ndarray         # () global-event PRNG key
+
+    # --- velocity-task (walk-these-ways) extensions; None for tunnel task ---
+    gait_indices: jnp.ndarray = None          # (N,)
+    clock_inputs: jnp.ndarray = None          # (N, 4)
+    desired_contact_states: jnp.ndarray = None  # (N, 4)
+    foot_phase: jnp.ndarray = None            # (N, 4) unwarped gait phase
+    foot_positions: jnp.ndarray = None        # (N, 4, 3) world
+    foot_velocities: jnp.ndarray = None       # (N, 4, 3) world
+    env_command_bins: jnp.ndarray = None      # (N,) int32 curriculum bin
+    env_command_categories: jnp.ndarray = None  # (N,) int32 gait category
+    curriculum_weights: jnp.ndarray = None    # (num_categories, n_bins)
+    command_sums: jnp.ndarray = None          # (N, 4) tracking-term sums

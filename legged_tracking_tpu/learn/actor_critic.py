@@ -69,26 +69,36 @@ class ActorCriticCSE(nn.Module):
         self.std = self.param("std", lambda k: jnp.full((self.num_actions,),
                                                         a.init_noise_std))
 
-    def __call__(self, obs_history, privileged_obs):
+    def __call__(self, obs, privileged_obs, obs_history):
         """Init-everything forward (used only for parameter shape inference)."""
-        mean, std = self.action_dist(obs_history)
-        value = self.evaluate(obs_history, privileged_obs)
+        mean, std = self.action_dist(obs, privileged_obs, obs_history)
+        value = self.evaluate(obs, privileged_obs, obs_history)
         pred = self.adapt(obs_history)
         return mean, std, value, pred
 
     def adapt(self, obs_history):
         return self.adaptation_module(obs_history)
 
-    def action_dist(self, obs_history):
-        """Student distribution (update_distribution, :121-124)."""
+    def adaptation_target(self, privileged_obs):
+        """CSE supervises the privileged obs itself (ppo.py:164-185)."""
+        return privileged_obs
+
+    def action_dist(self, obs, privileged_obs, obs_history):
+        """Student distribution (update_distribution, :121-124); obs and
+        privileged_obs are unused (protocol shared with the RMA variant)."""
         latent = self.adaptation_module(obs_history)
         mean = self.actor_body(jnp.concatenate([obs_history, latent], axis=-1))
         return mean, jnp.maximum(jnp.abs(self.std), 1e-3)
 
-    def act_teacher(self, obs_history, privileged_obs):
+    def act_student(self, obs, obs_history):
+        """Deterministic deployment policy (act_student, :144-148)."""
+        latent = self.adaptation_module(obs_history)
+        return self.actor_body(jnp.concatenate([obs_history, latent], axis=-1))
+
+    def act_teacher(self, obs, privileged_obs, obs_history):
         return self.actor_body(jnp.concatenate([obs_history, privileged_obs], axis=-1))
 
-    def evaluate(self, obs_history, privileged_obs):
+    def evaluate(self, obs, privileged_obs, obs_history):
         v = self.critic_body(jnp.concatenate([obs_history, privileged_obs], axis=-1))
         return v[..., 0]
 

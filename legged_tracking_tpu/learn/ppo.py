@@ -74,17 +74,20 @@ class Transition(NamedTuple):
 class PPO:
     """Builds the jitted train iteration around an env's pure step_fn."""
 
-    def __init__(self, env, ac_args=None, args: PPOArgs | None = None):
+    def __init__(self, env, ac_args=None, args: PPOArgs | None = None, ac=None):
         from .actor_critic import ACArgs
         self.env = env
         self.args = args or PPOArgs()
-        self.ac = ActorCriticCSE(
+        # any module exposing the policy protocol works here: action_dist /
+        # evaluate / adapt / adaptation_target / act_student (CSE, CNN, RMA)
+        self.ac = ac if ac is not None else ActorCriticCSE(
             num_obs=env.num_obs,
             num_privileged_obs=env.num_privileged_obs,
             num_obs_history=env.num_obs_history,
             num_actions=env.num_actions,
             args=ac_args or ACArgs(),
         )
+        self._m = type(self.ac)
         # optimizers: dynamic-lr Adam for PPO; fixed-lr Adam for adaptation.
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.args.max_grad_norm),
@@ -98,9 +101,10 @@ class PPO:
         self._train_iteration = jax.jit(self.train_iteration, donate_argnums=(0,))
 
     def init(self, key) -> TrainState:
+        dummy_o = jnp.zeros((1, self.env.num_obs))
         dummy_h = jnp.zeros((1, self.env.num_obs_history))
         dummy_p = jnp.zeros((1, self.env.num_privileged_obs))
-        params = self.ac.init(key, dummy_h, dummy_p)
+        params = self.ac.init(key, dummy_o, dummy_p, dummy_h)
         return TrainState(
             params=params,
             opt_state=self.tx.init(params),
@@ -118,17 +122,18 @@ class PPO:
 
         def step(carry, key_t):
             env_state, obs_dict = carry
+            o = obs_dict["obs"]
             h = obs_dict["obs_history"]
             p = obs_dict["privileged_obs"]
-            mean, std = self.ac.apply(params, h, method=ActorCriticCSE.action_dist)
+            mean, std = self.ac.apply(params, o, p, h, method=self._m.action_dist)
             std = jnp.broadcast_to(std, mean.shape)
             actions = mean + std * jax.random.normal(key_t, mean.shape)
             log_prob = normal_log_prob(mean, std, actions)
-            value = self.ac.apply(params, h, p, method=ActorCriticCSE.evaluate)
+            value = self.ac.apply(params, o, p, h, method=self._m.evaluate)
             new_env_state, out = self.env.step_fn(env_state, actions)
             # timeout bootstrap (ppo_cse/ppo.py:86-89)
             rew = out.rew + self.args.gamma * value * out.info["time_outs"]
-            tr = Transition(obs=out.obs, privileged_obs=p, obs_history=h,
+            tr = Transition(obs=o, privileged_obs=p, obs_history=h,
                             actions=actions, rewards=rew, dones=out.done,
                             values=value, log_prob=log_prob, mu=mean, sigma=std)
             metrics_t = {
@@ -172,12 +177,12 @@ class PPO:
     def _minibatch_update(self, carry, batch):
         params, opt_state, adapt_opt_state, lr = carry
         a = self.args
-        h, p, actions, target_values, advantages, returns, old_lp, old_mu, old_sigma = batch
+        o, h, p, actions, target_values, advantages, returns, old_lp, old_mu, old_sigma = batch
 
         def loss_fn(prms):
-            mean, std = self.ac.apply(prms, h, method=ActorCriticCSE.action_dist)
+            mean, std = self.ac.apply(prms, o, p, h, method=self._m.action_dist)
             log_prob = normal_log_prob(mean, std, actions)
-            value = self.ac.apply(prms, h, p, method=ActorCriticCSE.evaluate)
+            value = self.ac.apply(prms, o, p, h, method=self._m.evaluate)
             entropy = normal_entropy(std)
 
             ratio = jnp.exp(log_prob - old_lp)
@@ -213,9 +218,11 @@ class PPO:
         n_train = h.shape[0] // 5 * 4
 
         def adapt_loss_fn(prms):
-            pred = self.ac.apply(prms, h, method=ActorCriticCSE.adapt)
-            train_loss = jnp.mean(jnp.square(pred[:n_train] - p[:n_train]))
-            test_loss = jnp.mean(jnp.square(pred[n_train:] - p[n_train:]))
+            pred = self.ac.apply(prms, h, method=self._m.adapt)
+            target = jax.lax.stop_gradient(
+                self.ac.apply(prms, p, method=self._m.adaptation_target))
+            train_loss = jnp.mean(jnp.square(pred[:n_train] - target[:n_train]))
+            test_loss = jnp.mean(jnp.square(pred[n_train:] - target[n_train:]))
             return train_loss, test_loss
 
         for _ in range(a.num_adaptation_module_substeps):
@@ -236,9 +243,9 @@ class PPO:
         perm = jax.random.permutation(key, a.num_mini_batches * mb)
 
         flat = lambda x: x.reshape((B,) + x.shape[2:])
-        data = (flat(traj.obs_history), flat(traj.privileged_obs), flat(traj.actions),
-                flat(traj.values), flat(advantages), flat(returns),
-                flat(traj.log_prob), flat(traj.mu), flat(traj.sigma))
+        data = (flat(traj.obs), flat(traj.obs_history), flat(traj.privileged_obs),
+                flat(traj.actions), flat(traj.values), flat(advantages),
+                flat(returns), flat(traj.log_prob), flat(traj.mu), flat(traj.sigma))
 
         # same permutation every epoch (rollout_storage.py:102); gather each
         # minibatch inside the scan to avoid materializing epochs x batch
@@ -271,9 +278,10 @@ class PPO:
         k_roll, k_update = jax.random.split(key)
         env_state, last_obs, traj, roll_metrics = self.rollout(
             train_state.params, env_state, obs_dict, k_roll)
-        last_values = self.ac.apply(train_state.params, last_obs["obs_history"],
+        last_values = self.ac.apply(train_state.params, last_obs["obs"],
                                     last_obs["privileged_obs"],
-                                    method=ActorCriticCSE.evaluate)
+                                    last_obs["obs_history"],
+                                    method=self._m.evaluate)
         returns, advantages = self.compute_gae(traj, last_values)
         train_state, metrics = self.update(train_state, traj, returns, advantages, k_update)
 
@@ -299,10 +307,10 @@ class PPO:
         return self._train_iteration(train_state, env_state, obs_dict, key)
 
     # ------------------------------------------------------------ policies
-    def act_inference(self, params, obs_history):
-        mean, _ = self.ac.apply(params, obs_history, method=ActorCriticCSE.action_dist)
-        return mean
+    def act_inference(self, params, obs, obs_history):
+        """Student/deployment policy (act_student, actor_critic.py:144-148)."""
+        return self.ac.apply(params, obs, obs_history, method=self._m.act_student)
 
-    def act_teacher(self, params, obs_history, privileged_obs):
-        return self.ac.apply(params, obs_history, privileged_obs,
-                             method=ActorCriticCSE.act_teacher)
+    def act_teacher(self, params, obs, privileged_obs, obs_history):
+        return self.ac.apply(params, obs, privileged_obs, obs_history,
+                             method=self._m.act_teacher)

@@ -41,12 +41,19 @@ class RunnerArgs:
 class Runner:
     def __init__(self, env, runner_args: RunnerArgs | None = None,
                  ppo_args: PPOArgs | None = None, ac_args: ACArgs | None = None,
-                 logdir: str | None = None, log_wandb: bool = False, seed: int = 1):
+                 logdir: str | None = None, log_wandb: bool = False, seed: int = 1,
+                 ac=None, num_devices: int | None = None):
         self.env = env
         self.runner_args = runner_args or RunnerArgs()
         ppo_args = ppo_args or PPOArgs()
         ppo_args.num_steps_per_env = self.runner_args.num_steps_per_env
-        self.alg = PPO(env, ac_args=ac_args, args=ppo_args)
+        self.alg = PPO(env, ac_args=ac_args, args=ppo_args, ac=ac)
+        # data-parallel mesh: envs sharded, params replicated; XLA inserts the
+        # psum gradient reductions (SURVEY.md §2.8 TPU-native equivalent)
+        self.mesh = None
+        if num_devices is not None and num_devices > 1:
+            from ..parallel import make_mesh
+            self.mesh = make_mesh(num_devices)
         self.logdir = logdir
         self.log_wandb = log_wandb
         if logdir:
@@ -62,6 +69,11 @@ class Runner:
             self.load(self.runner_args.resume)
         self.env_state = env._reset_jit(k_env, True)
         self.obs_dict = env._observe_jit(self.env_state)
+        if self.mesh is not None:
+            from ..parallel import replicate, shard_batch
+            self.train_state = replicate(self.train_state, self.mesh)
+            self.env_state = shard_batch(self.env_state, env.num_envs, self.mesh)
+            self.obs_dict = shard_batch(self.obs_dict, env.num_envs, self.mesh)
         self.tot_timesteps = 0
         self._reached_window = deque(maxlen=4000)
         self.history = []
@@ -143,9 +155,14 @@ class Runner:
 
         if self.logdir:
             self.save(os.path.join(self.logdir, "ac_weights_last.pkl"))
+            # deployment export (policy.npz — numpy runtime on the robot)
+            from ..io.checkpoint import export_policy_npz
+            export_policy_npz(os.path.join(self.logdir, "policy.npz"),
+                              jax.tree.map(np.asarray, self.train_state.params))
         return self.history
 
     # --------------------------------------------------------------- export
     def get_inference_policy(self):
         params = self.train_state.params
-        return jax.jit(lambda obs_history: self.alg.act_inference(params, obs_history))
+        return jax.jit(lambda obs, obs_history: self.alg.act_inference(
+            params, obs, obs_history))

@@ -63,10 +63,10 @@ def contact_forces(
     # point Jacobians J_p = J_lin - skew(rel) @ J_ang  -> (ns, 3, NV)
     from .kinematics import _skew
     Jp = mm.J[sb, 3:6, :] - jnp.einsum("sij,sjk->sik", _skew(rel), mm.J[sb, :3, :])
-    ns = Jp.shape[0]
-    nv = Jp.shape[2]
-    X = jax.scipy.linalg.cho_solve((mm.chol, True), Jp.reshape(ns * 3, nv).T)  # (nv, ns*3)
-    W = jnp.einsum("sik,ksj->sij", Jp, X.reshape(nv, ns, 3))                 # (ns, 3, 3)
+    # apparent inverse-mass blocks W = J_p M^-1 J_p^T via the explicit Minv
+    # (batched matmuls on the MXU; no triangular solves — see spd_inverse)
+    JpMinv = jnp.einsum("sik,kl->sil", Jp, mm.Minv)                          # (ns, 3, NV)
+    W = jnp.einsum("sil,sjl->sij", JpMinv, Jp)                               # (ns, 3, 3)
 
     heights, grads = sample_height_bilinear(
         terrain, env_tile, env_terrain_origin, p_s[None, :, :2]

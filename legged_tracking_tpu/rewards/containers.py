@@ -54,6 +54,21 @@ class RewardCtx(NamedTuple):
     feet_air_time: jnp.ndarray       # (N, 4) updated air time (post-contact)
     feet_first_contact: jnp.ndarray  # (N, 4) bool
 
+    # --- velocity-task (walk-these-ways) extras; None for the tunnel task ---
+    commands: jnp.ndarray = None             # (N, num_commands)
+    desired_contact_states: jnp.ndarray = None  # (N, 4)
+    foot_positions: jnp.ndarray = None       # (N, 4, 3) world
+    foot_velocities: jnp.ndarray = None      # (N, 4, 3) world
+    prev_foot_velocities: jnp.ndarray = None  # (N, 4, 3) world (pre-step)
+    foot_phase: jnp.ndarray = None           # (N, 4) warped gait phase in [0,1)
+    joint_pos_target: jnp.ndarray = None     # (N, 12)
+    last_joint_pos_target: jnp.ndarray = None
+    last_last_joint_pos_target: jnp.ndarray = None
+    last_last_actions: jnp.ndarray = None
+    gravity_unit: jnp.ndarray = None         # (3,) normalized world gravity
+    feet_contact_filt: jnp.ndarray = None    # (N, 4) contact | last_contacts
+    base_quat: jnp.ndarray = None            # (N, 4) xyzw
+
 
 # ---------------------------------------------------------------- penalties
 

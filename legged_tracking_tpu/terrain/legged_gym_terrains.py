@@ -208,13 +208,11 @@ def build_velocity_terrain(tcfg, num_envs: int, seed: int = 0):
         tiles[k, 1] = make_legged_gym_tile(tcfg, choice, difficulty, proportions, rng)
         origin_z[k] = tiles[k, 1].max()
 
-    assert num_envs % n_tiles == 0, (num_envs, n_tiles)
-    m = num_envs // n_tiles
-    grid_r, grid_c = np.meshgrid(np.arange(tcfg.num_rows), np.arange(tcfg.num_cols),
-                                 indexing="ij")
-    grid_r = np.tile(grid_r.ravel(), m)
-    grid_c = np.tile(grid_c.ravel(), m)
-    env_tile = (grid_r * tcfg.num_cols + grid_c).astype(np.int32)
+    # round-robin tile assignment (divisibility not required, unlike the
+    # tunnel world — reference velocity env spreads envs over the tile grid)
+    env_tile = (np.arange(num_envs) % n_tiles).astype(np.int32)
+    grid_r = env_tile // tcfg.num_cols
+    grid_c = env_tile % tcfg.num_cols
     env_origin = np.stack([
         (grid_r + 0.5) * tcfg.terrain_length,
         (grid_c + 0.5) * tcfg.terrain_width,

@@ -209,10 +209,22 @@ def build_tunnel_terrain(tcfg, num_envs: int, seed: int = 0) -> TerrainArrays:
     sy = int((0.5 - tcfg.terrain_ratio_y / 2.0) * width_px)
     for k in range(n_tiles):
         difficulty = rng.uniform(0.0, 1.0)
-        top = gen(True, difficulty)
-        bottom = gen(False, difficulty)
-        # ceiling flip + minimum ground clearance (tunnel.py:96-98)
-        top = np.clip(tcfg.ceiling_height - top, 0.05, None)
+        valid = False
+        while not valid:
+            top = gen(True, difficulty)
+            bottom = gen(False, difficulty)
+            # ceiling flip + minimum ground clearance (tunnel.py:96-98)
+            top = np.clip(tcfg.ceiling_height - top, 0.05, None)
+            if tcfg.valid_tunnel_only:
+                # traversability check (tunnel.py:107-124; OMPL there)
+                from ..utils.planner import valid_checking
+                emap = np.stack([top, bottom])
+                start = np.array([-0.375 * win_len_m, 0, 0.27, 0, 0, 0, 1.0])
+                goal = np.array([0.375 * win_len_m, 0, 0.27, 0, 0, 0, 1.0])
+                valid = valid_checking(emap, start, goal, tcfg.terrain_length,
+                                       tcfg.terrain_width, tcfg.terrain_ratio_y, hs)
+            else:
+                valid = True
         tiles[k, 0, sx:sx + win_x, sy:sy + win_y] = top
         tiles[k, 1, sx:sx + win_x, sy:sy + win_y] = bottom
 

@@ -1,0 +1,157 @@
+"""Sampling/graph-based pose planning through tunnels (OMPL-free).
+
+The reference wraps the OMPL C++ library (go1_gym/utils/planner.py:1-516) for
+two jobs:
+
+1. ``valid_checking`` — is a tunnel traversable from start to goal?  Used by
+   terrain generation when ``valid_tunnel_only`` is set (tunnel.py:107-124).
+2. ``plan`` — a 6-DoF pose path through the tunnel (RRT*/RRTConnect/BIT*),
+   used by the archived deploy-with-planner experiments.
+
+Here both are reimplemented natively on the two-layer heightfield:
+
+- validity of a pose = all map points within the robot-sized ellipsoid are
+  free (the same test the env's batched local planner uses,
+  legged_robot_trajectory_tracking.py:893-899);
+- ``valid_checking`` runs a BFS over the (x, y) grid at nominal crawl height;
+- ``plan`` runs a goal-biased RRT over (x, y, z, yaw).
+
+numpy, host-side — planning is init-time / deploy-time, never in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ROBOT_SIZE = np.array([0.3762, 0.0935, 0.114])  # half extents (reference :1212)
+
+
+def _pose_valid(elevation_map, hs, x, y, z, yaw, robot_size=ROBOT_SIZE):
+    """Pose collision check against the (2, nx, ny) elevation map (meters).
+
+    The terrain is solid below the floor layer and above the ceiling layer, so
+    a yaw-aligned robot ellipsoid at (x, y, z) is free iff for every map
+    column inside its footprint ellipse the vertical robot extent
+    [z - h, z + h] (h from the ellipsoid cross-section) clears both layers.
+    This is strictly stronger than the reference's surface-point-vs-ellipsoid
+    test (planner.py:78-139), which misses tall solid walls.
+    """
+    nx, ny = elevation_map.shape[1:]
+    r = int(np.ceil(max(robot_size[:2]) / hs)) + 1
+    xi = int(round(x / hs))
+    yi = int(round(y / hs))
+    x0, x1 = max(xi - r, 0), min(xi + r + 1, nx)
+    y0, y1 = max(yi - r, 0), min(yi + r + 1, ny)
+    if x0 >= x1 or y0 >= y1:
+        return False
+    gx, gy = np.meshgrid(np.arange(x0, x1) * hs, np.arange(y0, y1) * hs,
+                         indexing="ij")
+    dx0, dy0 = gx - x, gy - y
+    c, s = np.cos(-yaw), np.sin(-yaw)
+    dx = c * dx0 - s * dy0
+    dy = s * dx0 + c * dy0
+    q = (dx / robot_size[0]) ** 2 + (dy / robot_size[1]) ** 2
+    inside = q < 1.0
+    if not inside.any():
+        return True
+    h = robot_size[2] * np.sqrt(np.clip(1.0 - q, 0.0, None))
+    floor = elevation_map[1, x0:x1, y0:y1]
+    ceil = elevation_map[0, x0:x1, y0:y1]
+    ok = (floor <= z - h + 1e-6) & (ceil >= z + h - 1e-6)
+    return bool(np.all(ok[inside]))
+
+
+def valid_checking(elevation_map, start_state, goal_state, env_length,
+                   env_width, terrain_ratio_y, horizontal_scale,
+                   crawl_height: float = 0.27) -> bool:
+    """Tunnel traversability via grid BFS (reference planner.valid_checking,
+    :467-499 — there an OMPL RRTConnect query).
+
+    elevation_map: (2, nx, ny) meters with x along the tunnel.  start/goal
+    follow the reference convention: x measured from the tunnel centre.
+    """
+    nx, ny = elevation_map.shape[1:]
+    hs = horizontal_scale
+    # validity grid at crawl height, yaw = 0
+    free = np.zeros((nx, ny), dtype=bool)
+    for i in range(nx):
+        for j in range(ny):
+            z = elevation_map[1, i, j] + crawl_height
+            free[i, j] = _pose_valid(elevation_map, hs, i * hs, j * hs, z, 0.0)
+
+    def to_idx(state):
+        x = state[0] + env_length / 2.0 * 0  # reference passes centre-relative x
+        xi = int(round((state[0] + nx * hs / 2.0) / hs))
+        yi = int(round((state[1] + ny * hs / 2.0) / hs))
+        return (np.clip(xi, 0, nx - 1), np.clip(yi, 0, ny - 1))
+
+    si, gi = to_idx(start_state), to_idx(goal_state)
+    if not free[si]:
+        # snap to the nearest free cell in the start column region
+        cands = np.argwhere(free[max(si[0] - 2, 0): si[0] + 3])
+        if len(cands) == 0:
+            return False
+        si = (cands[0][0] + max(si[0] - 2, 0), cands[0][1])
+    # BFS
+    from collections import deque
+    seen = np.zeros_like(free)
+    q = deque([si])
+    seen[si] = True
+    while q:
+        i, j = q.popleft()
+        if i >= gi[0]:          # reached the goal end of the tunnel
+            return True
+        for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            ii, jj = i + di, j + dj
+            if 0 <= ii < nx and 0 <= jj < ny and free[ii, jj] and not seen[ii, jj]:
+                seen[ii, jj] = True
+                q.append((ii, jj))
+    return False
+
+
+def plan(elevation_map, start, goal, horizontal_scale, max_iters: int = 2000,
+         step_size: float = 0.15, goal_bias: float = 0.2, seed: int = 0):
+    """Goal-biased RRT over (x, y, z, yaw) (reference planner.plan, :318-456).
+
+    start/goal: (4,) [x, y, z, yaw] in map-local meters.  Returns an (L, 4)
+    waypoint array or None.
+    """
+    rng = np.random.RandomState(seed)
+    hs = horizontal_scale
+    nx, ny = elevation_map.shape[1:]
+    lo = np.array([0.0, 0.0, 0.05, -np.pi])
+    hi = np.array([nx * hs, ny * hs, 0.6, np.pi])
+
+    start = np.asarray(start, dtype=np.float64)
+    goal = np.asarray(goal, dtype=np.float64)
+    nodes = [start]
+    parents = [-1]
+
+    def valid(p):
+        return _pose_valid(elevation_map, hs, p[0], p[1], p[2], p[3])
+
+    if not valid(start):
+        return None
+    for _ in range(max_iters):
+        target = goal if rng.rand() < goal_bias else rng.uniform(lo, hi)
+        d = np.array([np.linalg.norm((n[:3] - target[:3])) for n in nodes])
+        ni = int(np.argmin(d))
+        near = nodes[ni]
+        direction = target - near
+        dist = np.linalg.norm(direction[:3])
+        if dist < 1e-6:
+            continue
+        new = near + direction * min(step_size / dist, 1.0)
+        new[3] = np.arctan2(np.sin(new[3]), np.cos(new[3]))
+        if not valid(new):
+            continue
+        nodes.append(new)
+        parents.append(ni)
+        if np.linalg.norm(new[:3] - goal[:3]) < step_size:
+            path = [goal, new]
+            k = ni
+            while k >= 0:
+                path.append(nodes[k])
+                k = parents[k]
+            return np.stack(path[::-1])
+    return None

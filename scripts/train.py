@@ -166,12 +166,28 @@ def main(args):
         jax.config.update("jax_platforms", "cpu")
 
     from legged_tracking_tpu.envs import LeggedEnv
-    from legged_tracking_tpu.learn import ACArgs, PPOArgs, Runner, RunnerArgs
+    from legged_tracking_tpu.learn import (ACArgs, ACCnnArgs, ActorCriticCNN,
+                                           PPOArgs, Runner, RunnerArgs)
 
     cfg = build_cfg(args)
     env = LeggedEnv(cfg)
     print(f"env: {env.num_envs} envs | obs {env.num_obs} | priv {env.num_privileged_obs} "
           f"| rewards {env.reward_names}")
+
+    # policy selection mirrors the reference --old_ppo/--cnn/--gru flags
+    # (reference train.py:17-26,42-44): old_ppo -> ppo_cse MLP, else the
+    # CNN/GRU ppo_cse_cnn variant.
+    ac = None
+    if not args.old_ppo and cfg.env.observe_heights:
+        nx = len(cfg.terrain.measured_points_x)
+        ny = len(cfg.terrain.measured_points_y)
+        if cfg.terrain.measure_front_half:
+            nx = nx - (nx // 2 + 1)
+        ac = ActorCriticCNN(
+            num_obs=env.num_obs, num_privileged_obs=env.num_privileged_obs,
+            num_obs_history=env.num_obs_history, num_actions=env.num_actions,
+            args=ACCnnArgs(use_cnn=args.cnn, use_gru=args.gru,
+                           height_map_shape=(2, nx, ny)))
 
     ppo_args = PPOArgs(learning_rate=args.learning_rate, gamma=args.gamma,
                        num_steps_per_env=args.num_steps_per_env)
@@ -183,7 +199,7 @@ def main(args):
                    name=args.name, dir=args.logdir)
     runner = Runner(env, runner_args=runner_args, ppo_args=ppo_args,
                     ac_args=ACArgs(), logdir=args.logdir, log_wandb=args.wandb,
-                    seed=args.seed)
+                    seed=args.seed, ac=ac, num_devices=args.num_devices)
     history = runner.learn(num_learning_iterations=args.iterations)
     return history
 
@@ -196,6 +212,9 @@ def parse_args(argv=None):
     p.add_argument("--no_wandb", action="store_true")  # explicit for clarity
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--strategy", default="vel", choices=["e2e", "pms", "vel"])
+    p.add_argument("--old_ppo", action="store_true")
+    p.add_argument("--cnn", action="store_true")
+    p.add_argument("--gru", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--seed", type=int, default=11)
     p.add_argument("--iterations", type=int, default=10000)
@@ -217,6 +236,7 @@ def parse_args(argv=None):
     p.add_argument("--terrain", default="single_path",
                    choices=["single_path", "multi_path", "plane"])
     p.add_argument("--num_envs", type=int, default=1024)
+    p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--terrain_rows", type=int, default=32)
     p.add_argument("--terrain_cols", type=int, default=32)
     p.add_argument("--tunnel_width", type=float, default=2.0)

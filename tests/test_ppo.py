@@ -19,6 +19,7 @@ def make_env(num_envs=8):
     cfg.env.episode_length_s = 2.0
     cfg.reward_scales.set("exploration_lin", 1.0)
     cfg.reward_scales.set("exploration_yaw", 0.4)
+    cfg.control.decimation = 2  # halve physics compile cost
     return LeggedEnv(cfg)
 
 
