@@ -61,9 +61,11 @@ def main():
 
     key = jax.random.key(2)
 
-    # warmup/compile
-    key, k = jax.random.split(key)
-    ts, env_state, obs, metrics = alg.train_iteration_jit(ts, env_state, obs, k)
+    # warmup/compile (2 iterations: the second catches any signature-driven
+    # recompile so the timed loop is pure steady state)
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        ts, env_state, obs, metrics = alg.train_iteration_jit(ts, env_state, obs, k)
     jax.block_until_ready(metrics["value_loss"])
 
     t0 = time.perf_counter()

@@ -105,10 +105,15 @@ class PPO:
         dummy_h = jnp.zeros((1, self.env.num_obs_history))
         dummy_p = jnp.zeros((1, self.env.num_privileged_obs))
         params = self.ac.init(key, dummy_o, dummy_p, dummy_h)
+        # canonicalize every leaf to a strong-typed device array: optax.init
+        # leaves python/weak-typed scalars (e.g. inject_hyperparams' lr) whose
+        # pytree signature differs from the returned state, which would force
+        # a silent recompile of the train iteration on its SECOND call.
+        canon = lambda t: jax.tree.map(jnp.asarray, t)
         return TrainState(
-            params=params,
-            opt_state=self.tx.init(params),
-            adapt_opt_state=self.adapt_tx.init(params),
+            params=canon(params),
+            opt_state=canon(self.tx.init(params)),
+            adapt_opt_state=canon(self.adapt_tx.init(params)),
             learning_rate=jnp.asarray(self.args.learning_rate, jnp.float32),
             iteration=jnp.zeros((), jnp.int32),
         )
@@ -225,6 +230,7 @@ class PPO:
             test_loss = jnp.mean(jnp.square(pred[n_train:] - target[n_train:]))
             return train_loss, test_loss
 
+        ad_loss = ad_test = jnp.zeros(())
         for _ in range(a.num_adaptation_module_substeps):
             (ad_loss, ad_test), ad_grads = jax.value_and_grad(
                 adapt_loss_fn, has_aux=True)(params)

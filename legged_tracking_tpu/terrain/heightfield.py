@@ -50,6 +50,23 @@ def plane_terrain(num_envs: int, env_spacing: float = 3.0, ceiling: float = 1e3)
     )
 
 
+def _gather_layers(tiles: jnp.ndarray, env_tile, xi, yi):
+    """Flat-index gather of both layers at integer cell coords.
+
+    tiles (T, 2, h, w); env_tile (...,) broadcastable against xi/yi leading
+    dims; xi/yi (..., P) int32.  Returns (..., P, 2) [ceiling, floor].
+
+    One flat gather per layer — NEVER materializes per-point tile copies (a
+    naive take_along_axis broadcast is O(N*P*h*w) memory: 24 GB at 4096 envs).
+    """
+    T, L, h, w = tiles.shape
+    flat = tiles.reshape(-1)
+    base = env_tile[..., None] * (L * h * w) + xi * w + yi  # (..., P)
+    ceil = jnp.take(flat, base, axis=0)
+    floor = jnp.take(flat, base + h * w, axis=0)
+    return jnp.stack([ceil, floor], axis=-1)
+
+
 def sample_height_bilinear(terrain: TerrainArrays, env_tile, env_terrain_origin, points_xy):
     """Bilinear floor/ceiling heights + gradients at world-frame xy points.
 
@@ -71,28 +88,10 @@ def sample_height_bilinear(terrain: TerrainArrays, env_tile, env_terrain_origin,
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
 
-    t = tiles[env_tile]                                    # (..., 2, h, w)
-    t = jnp.moveaxis(t, -3, -1)                            # (..., h, w, 2)
-
-    def gather(xi, yi):
-        return jnp.take_along_axis(
-            jnp.take_along_axis(t, xi[..., None, None, None], axis=-3),
-            yi[..., None, None, None], axis=-2,
-        )[..., 0, 0, :]                                    # (..., P, 2)
-
-    # expand t to align with per-point gather: t is (..., h, w, 2); points add P
-    tP = t[..., None, :, :, :]                             # (..., 1, h, w, 2)
-    tP = jnp.broadcast_to(tP, x0.shape + t.shape[-3:])
-
-    def gP(xi, yi):
-        g = jnp.take_along_axis(tP, xi[..., None, None, None], axis=-3)
-        g = jnp.take_along_axis(g, yi[..., None, None, None], axis=-2)
-        return g[..., 0, 0, :]
-
-    h00 = gP(x0, y0)
-    h10 = gP(x0 + 1, y0)
-    h01 = gP(x0, y0 + 1)
-    h11 = gP(x0 + 1, y0 + 1)
+    h00 = _gather_layers(tiles, env_tile, x0, y0)
+    h10 = _gather_layers(tiles, env_tile, x0 + 1, y0)
+    h01 = _gather_layers(tiles, env_tile, x0, y0 + 1)
+    h11 = _gather_layers(tiles, env_tile, x0 + 1, y0 + 1)
 
     hx0 = h00 * (1 - fy) + h01 * fy
     hx1 = h10 * (1 - fy) + h11 * fy
@@ -116,9 +115,4 @@ def sample_height_nearest(terrain: TerrainArrays, env_tile, env_terrain_origin, 
     local = (points_xy - env_terrain_origin[..., None, :2]) / hs
     x0 = jnp.clip(local[..., 0].astype(jnp.int32), 0, h - 2)
     y0 = jnp.clip(local[..., 1].astype(jnp.int32), 0, w - 2)
-    t = jnp.moveaxis(tiles[env_tile], -3, -1)              # (..., h, w, 2)
-    tP = t[..., None, :, :, :]
-    tP = jnp.broadcast_to(tP, x0.shape + t.shape[-3:])
-    g = jnp.take_along_axis(tP, x0[..., None, None, None], axis=-3)
-    g = jnp.take_along_axis(g, y0[..., None, None, None], axis=-2)
-    return g[..., 0, 0, :]
+    return _gather_layers(tiles, env_tile, x0, y0)
