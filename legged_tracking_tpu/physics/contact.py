@@ -30,13 +30,30 @@ class ContactOut(NamedTuple):
     sphere_vel: jnp.ndarray      # (ns, 3) world sphere velocities
 
 
+def apparent_masses(model: Go1Model, bs: BodyState, mm) -> jnp.ndarray:
+    """Per-sphere apparent inverse-mass blocks W = J_p M^-1 J_p^T (ns, 3, 3).
+
+    Used only to cap contact impulses for stability; W drifts by <1% within a
+    20 ms control step, so the engine computes it once per control step and
+    reuses it across substeps (sim.per_step_mass_matrix).
+    """
+    from .kinematics import _skew
+    f = bs.fk
+    sb = model.sphere_body
+    p_s = f.p[sb] + jnp.einsum("sij,sj->si", f.R[sb], model.sphere_offset)
+    rel = p_s - f.com_w[sb]
+    Jp = mm.J[sb, 3:6, :] - jnp.einsum("sij,sjk->sik", _skew(rel), mm.J[sb, :3, :])
+    JpMinv = jnp.einsum("sik,kl->sil", Jp, mm.Minv)
+    return jnp.einsum("sil,sjl->sij", JpMinv, Jp)
+
+
 def contact_forces(
     model: Go1Model,
     terrain: TerrainArrays,
     env_tile,
     env_terrain_origin,
     bs: BodyState,
-    mm,                          # dynamics.MassMatrix (for apparent masses)
+    W: jnp.ndarray,              # (ns, 3, 3) apparent inverse-mass blocks
     friction,                    # scalar (per env after vmap)
     restitution,
     stiffness: float,
@@ -59,14 +76,6 @@ def contact_forces(
     r = model.sphere_radius
     rel = p_s - f.com_w[sb]
     v_s = bs.u[sb] + jnp.cross(bs.omega[sb], rel)                            # (ns,3)
-
-    # point Jacobians J_p = J_lin - skew(rel) @ J_ang  -> (ns, 3, NV)
-    from .kinematics import _skew
-    Jp = mm.J[sb, 3:6, :] - jnp.einsum("sij,sjk->sik", _skew(rel), mm.J[sb, :3, :])
-    # apparent inverse-mass blocks W = J_p M^-1 J_p^T via the explicit Minv
-    # (batched matmuls on the MXU; no triangular solves — see spd_inverse)
-    JpMinv = jnp.einsum("sik,kl->sil", Jp, mm.Minv)                          # (ns, 3, NV)
-    W = jnp.einsum("sil,sjl->sij", JpMinv, Jp)                               # (ns, 3, 3)
 
     heights, grads = sample_height_bilinear(
         terrain, env_tile, env_terrain_origin, p_s[None, :, :2]

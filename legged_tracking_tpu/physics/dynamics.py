@@ -110,6 +110,19 @@ def mass_matrix(model: Go1Model, bs: BodyState, payload, com_offset, base_pos) -
     return MassMatrix(M=M, Minv=spd_inverse(M), J=J, mass=mass, Iw=Iw)
 
 
+def refresh_mass_matrix(model: Go1Model, mm0: MassMatrix, bs: BodyState,
+                        com_offset, base_pos) -> MassMatrix:
+    """Per-substep refresh of the configuration-dependent pieces (J, Iw) while
+    reusing the slowly-varying M / M^-1 from the control step's first substep
+    (see engine._control_step_body).  Force projections and the bias term stay
+    exact; only the generalized-inertia solve uses the ~20 ms-stale inverse."""
+    f, J = bs.fk, bs.J
+    Iw = jnp.einsum("bij,bjk,blk->bil", f.R, model.inertia, f.R)
+    com_w0 = f.com_w[0] + f.R[0] @ com_offset
+    J = J.at[0, 3:6, 3:6].set(-kinematics._skew(com_w0 - base_pos))
+    return MassMatrix(M=mm0.M, Minv=mm0.Minv, J=J, mass=mm0.mass, Iw=Iw)
+
+
 def forward_dynamics(
     model: Go1Model,
     base_pos: jnp.ndarray,
