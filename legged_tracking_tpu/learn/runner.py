@@ -100,12 +100,24 @@ class Runner:
 
     # ----------------------------------------------------------------- loop
     def learn(self, num_learning_iterations: int, eval_freq: int = 100,
-              verbose: bool = True):
+              verbose: bool = True, profile_dir: str | None = None):
+        """Drive training iterations.
+
+        profile_dir: capture a jax.profiler device trace of iterations 10-13
+        (the TPU-native replacement for the reference's commented-out
+        wall-clock probes, legged_robot_trajectory_tracking.py:79-105).
+        """
         env = self.env
         cfg = env.cfg
         t0 = time.time()
         steps_per_iter = env.num_envs * self.alg.args.num_steps_per_env
         for it in range(num_learning_iterations):
+            if profile_dir and it == 10:
+                jax.profiler.start_trace(profile_dir, create_perfetto_trace=True)
+            if profile_dir and it == 13:
+                jax.block_until_ready(self.train_state.params)
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {profile_dir}")
             self.key, k = jax.random.split(self.key)
             self.train_state, self.env_state, self.obs_dict, metrics = \
                 self.alg.train_iteration_jit(self.train_state, self.env_state,

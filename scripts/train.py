@@ -200,7 +200,8 @@ def main(args):
     runner = Runner(env, runner_args=runner_args, ppo_args=ppo_args,
                     ac_args=ACArgs(), logdir=args.logdir, log_wandb=args.wandb,
                     seed=args.seed, ac=ac, num_devices=args.num_devices)
-    history = runner.learn(num_learning_iterations=args.iterations)
+    history = runner.learn(num_learning_iterations=args.iterations,
+                           profile_dir=args.profile_dir)
     return history
 
 
@@ -237,6 +238,7 @@ def parse_args(argv=None):
                    choices=["single_path", "multi_path", "plane"])
     p.add_argument("--num_envs", type=int, default=1024)
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--terrain_rows", type=int, default=32)
     p.add_argument("--terrain_cols", type=int, default=32)
     p.add_argument("--tunnel_width", type=float, default=2.0)

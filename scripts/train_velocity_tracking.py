@@ -188,7 +188,8 @@ def main(args):
                     ppo_args=ppo_args, ac_args=ACArgs(), logdir=args.logdir,
                     log_wandb=args.wandb, seed=args.seed,
                     num_devices=args.num_devices)
-    return runner.learn(num_learning_iterations=args.iterations)
+    return runner.learn(num_learning_iterations=args.iterations,
+                        profile_dir=args.profile_dir)
 
 
 def parse_args(argv=None):
@@ -205,6 +206,7 @@ def parse_args(argv=None):
     p.add_argument("--num_history", type=int, default=30)
     p.add_argument("--num_envs", type=int, default=4000)
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--terrain", default="trimesh", choices=["plane", "trimesh"])
     p.add_argument("--terrain_rows", type=int, default=30)
     p.add_argument("--terrain_cols", type=int, default=30)

@@ -1,0 +1,69 @@
+"""Multi-device data parallelism tests on the virtual 8-device CPU mesh.
+
+Validates the SURVEY §2.8 design claims: envs shard over the mesh, params
+replicate, and per-env PRNG keys make trajectories bitwise identical
+regardless of the sharding layout.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legged_tracking_tpu.config import Cfg, config_go1
+from legged_tracking_tpu.envs import LeggedEnv
+from legged_tracking_tpu.parallel import make_mesh, replicate, shard_batch
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def make_env(num_envs=8):
+    cfg = config_go1(Cfg())
+    cfg.env.num_envs = num_envs
+    cfg.terrain.mesh_type = "plane"
+    cfg.env.command_type = "xy"
+    cfg.control.control_type = "P"
+    cfg.env.episode_length_s = 2.0
+    cfg.control.decimation = 2
+    return LeggedEnv(cfg)
+
+
+def test_sharded_rollout_matches_single_device():
+    env = make_env()
+    state = env.reset_fn(jax.random.key(3), False)
+    step = jax.jit(env.step_fn)
+    a = jnp.full((8, 12), 0.05)
+
+    s1 = state
+    for _ in range(3):
+        s1, out1 = step(s1, a)
+
+    mesh = make_mesh(8)
+    s2 = shard_batch(state, 8, mesh)
+    a2 = shard_batch(a, 8, mesh)
+    for _ in range(3):
+        s2, out2 = step(s2, a2)
+
+    np.testing.assert_allclose(np.asarray(s1.phys.base_pos),
+                               np.asarray(s2.phys.base_pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out1.obs), np.asarray(out2.obs),
+                               atol=1e-5)
+
+
+def test_sharded_train_iteration():
+    from legged_tracking_tpu.learn import PPO, PPOArgs
+
+    env = make_env()
+    alg = PPO(env, args=PPOArgs(num_steps_per_env=2, num_mini_batches=2,
+                                num_learning_epochs=1))
+    mesh = make_mesh(8)
+    ts = replicate(alg.init(jax.random.key(0)), mesh)
+    es = shard_batch(env.reset_fn(jax.random.key(1), False), 8, mesh)
+    obs = shard_batch(jax.jit(env.observe)(es), 8, mesh)
+    ts2, es2, obs2, metrics = alg.train_iteration_jit(ts, es, obs,
+                                                      jax.random.key(2))
+    assert bool(jnp.isfinite(metrics["value_loss"]))
+    # params remain replicated and identical across devices
+    leaf = jax.tree.leaves(ts2.params)[0]
+    assert len(leaf.sharding.device_set) == 8

@@ -37,7 +37,7 @@ def run_one_iteration(env, ac):
     return alg, ts2
 
 
-@pytest.mark.parametrize("variant", ["cnn", "cnn_gru", "mlp_encoder", "rma"])
+@pytest.mark.parametrize("variant", ["cnn_gru", "mlp_encoder", "rma"])
 def test_variant_trains(variant):
     env = make_env()
     if variant == "rma":
