@@ -45,15 +45,16 @@ def quat_derivative(base_quat: jnp.ndarray, omega_world: jnp.ndarray) -> jnp.nda
     return 0.5 * quat.quat_mul(wq, base_quat)
 
 
-def body_state(model: Go1Model, base_pos, base_quat, qj, v) -> BodyState:
-    f = kinematics.fk(model, base_pos, base_quat, qj)
+def body_state(model: Go1Model, base_pos, base_quat, qj, v,
+               com_offset=None) -> BodyState:
+    f = kinematics.fk(model, base_pos, base_quat, qj, com_offset)
     J = kinematics.jacobians(model, f, base_pos)
     vel6 = jnp.einsum("bik,k->bi", J, v)
     return BodyState(fk=f, J=J, omega=vel6[:, :3], u=vel6[:, 3:])
 
 
-def _body_vel6(model: Go1Model, base_pos, base_quat, qj, v):
-    f = kinematics.fk(model, base_pos, base_quat, qj)
+def _body_vel6(model: Go1Model, base_pos, base_quat, qj, v, com_offset=None):
+    f = kinematics.fk(model, base_pos, base_quat, qj, com_offset)
     J = kinematics.jacobians(model, f, base_pos)
     return jnp.einsum("bik,k->bi", J, v)
 
@@ -85,22 +86,18 @@ class MassMatrix(NamedTuple):
 
 
 def mass_matrix(model: Go1Model, bs: BodyState, payload, com_offset, base_pos) -> MassMatrix:
-    """Composite mass matrix + Cholesky factor.
+    """Composite mass matrix + explicit inverse.
 
-    payload: scalar added base mass; com_offset (3,): base COM shift — the
-    domain-randomization knobs of _process_rigid_body_props (reference
-    legged_robot_trajectory_tracking.py:766-772).
+    payload: scalar added base mass (the DR knob of _process_rigid_body_props,
+    reference legged_robot_trajectory_tracking.py:766-772).  The base COM
+    shift is folded into FK (kinematics.fk base_com_offset), so bs.J already
+    carries the shifted torque arm.
     """
     f, J = bs.fk, bs.J
     mass = model.mass.at[0].add(payload)                       # (nb,)
-    com_w0 = f.com_w[0] + f.R[0] @ com_offset
 
     # world-frame rotational inertias about COM
     Iw = jnp.einsum("bij,bjk,blk->bil", f.R, model.inertia, f.R)  # (nb,3,3)
-
-    # COM shift affects the base body's linear jacobian torque arm
-    r0 = com_w0 - base_pos
-    J = J.at[0, 3:6, 3:6].set(-kinematics._skew(r0))
 
     Jw = J[:, :3, :]
     Jv = J[:, 3:6, :]
@@ -116,11 +113,9 @@ def refresh_mass_matrix(model: Go1Model, mm0: MassMatrix, bs: BodyState,
     reusing the slowly-varying M / M^-1 from the control step's first substep
     (see engine._control_step_body).  Force projections and the bias term stay
     exact; only the generalized-inertia solve uses the ~20 ms-stale inverse."""
-    f, J = bs.fk, bs.J
+    f = bs.fk
     Iw = jnp.einsum("bij,bjk,blk->bil", f.R, model.inertia, f.R)
-    com_w0 = f.com_w[0] + f.R[0] @ com_offset
-    J = J.at[0, 3:6, 3:6].set(-kinematics._skew(com_w0 - base_pos))
-    return MassMatrix(M=mm0.M, Minv=mm0.Minv, J=J, mass=mm0.mass, Iw=Iw)
+    return MassMatrix(M=mm0.M, Minv=mm0.Minv, J=bs.J, mass=mm0.mass, Iw=Iw)
 
 
 def forward_dynamics(
@@ -134,6 +129,7 @@ def forward_dynamics(
     gravity: jnp.ndarray,
     bs: BodyState,
     mm: MassMatrix,
+    com_offset=None,
 ) -> jnp.ndarray:
     """Generalized accelerations (NV,).
 
@@ -146,7 +142,7 @@ def forward_dynamics(
     qdot_quat = quat_derivative(base_quat, v[3:6])
     qdot_j = v[6:]
     _, a_vp = jax.jvp(
-        lambda bp, bq, qq: _body_vel6(model, bp, bq, qq, v),
+        lambda bp, bq, qq: _body_vel6(model, bp, bq, qq, v, com_offset),
         (base_pos, base_quat, qj),
         (qdot_pos, qdot_quat, qdot_j),
     )                                                           # (nb, 6)

@@ -85,13 +85,15 @@ def _control_step_body(
     # (unrolled 18x18 inversion; 48x(3x18 @ 18x18) blocks per env).  The
     # per-substep quantities (FK, Jacobians, velocities, contact forces,
     # torques, bias) stay exact.
-    bs0 = dynamics.body_state(model, state.base_pos, state.base_quat, state.qj, state.v)
+    bs0 = dynamics.body_state(model, state.base_pos, state.base_quat, state.qj,
+                              state.v, params.com_offset)
     mm0 = dynamics.mass_matrix(model, bs0, params.payload, params.com_offset, state.base_pos)
     W0 = _contact.apparent_masses(model, bs0, mm0)
 
     for k in range(decimation):  # static unroll — fuses into one XLA computation
         bs = bs0 if k == 0 else dynamics.body_state(
-            model, state.base_pos, state.base_quat, state.qj, state.v)
+            model, state.base_pos, state.base_quat, state.qj, state.v,
+            params.com_offset)
         mm = mm0 if k == 0 else dynamics.refresh_mass_matrix(
             model, mm0, bs, params.com_offset, state.base_pos)
         tau, torque_carry = torque_fn(state.qj, state.v[6:], torque_carry)
@@ -105,7 +107,7 @@ def _control_step_body(
         )
         qdd = dynamics.forward_dynamics(
             model, state.base_pos, state.base_quat, state.qj, state.v,
-            tau_total, c.f_ext, params.gravity, bs, mm,
+            tau_total, c.f_ext, params.gravity, bs, mm, params.com_offset,
         )
         bp, bq, qj, v = dynamics.integrate(
             state.base_pos, state.base_quat, state.qj, state.v, qdd, sim_dt

@@ -41,8 +41,14 @@ class FK(NamedTuple):
     anchor_w: jnp.ndarray  # (nd, 3) joint anchor positions in world
 
 
-def fk(model: Go1Model, base_pos: jnp.ndarray, base_quat: jnp.ndarray, qj: jnp.ndarray) -> FK:
-    """base_pos (3,), base_quat (4,) xyzw, qj (12,) -> FK."""
+def fk(model: Go1Model, base_pos: jnp.ndarray, base_quat: jnp.ndarray, qj: jnp.ndarray,
+       base_com_offset: jnp.ndarray | None = None) -> FK:
+    """base_pos (3,), base_quat (4,) xyzw, qj (12,) -> FK.
+
+    base_com_offset (3,): DR displacement of the base COM (folded in HERE so
+    no downstream consumer needs a large scatter into J — an at[].set on the
+    (nb, 6, nv) Jacobian copies ~23 MB per substep at 4096 envs).
+    """
     Rb = quat.quat_to_matrix(base_quat)
     Rs = [Rb[None]]
     ps = [base_pos[None]]
@@ -63,7 +69,10 @@ def fk(model: Go1Model, base_pos: jnp.ndarray, base_quat: jnp.ndarray, qj: jnp.n
     perm = jnp.asarray(_STACK_TO_BODY)
     R = R_stack[perm]
     p = p_stack[perm]
-    com_w = p + jnp.einsum("bij,bj->bi", R, model.com)
+    com = model.com
+    if base_com_offset is not None:
+        com = com.at[0].add(base_com_offset)
+    com_w = p + jnp.einsum("bij,bj->bi", R, com)
     axis_w = jnp.einsum("bij,bj->bi", R[1:], model.joint_axis[1:])  # (12,3)
     anchor_w = p[1:]
     return FK(R=R, p=p, com_w=com_w, axis_w=axis_w, anchor_w=anchor_w)
