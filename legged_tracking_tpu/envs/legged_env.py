@@ -422,7 +422,10 @@ class LeggedEnv:
         base_rpy = qt.quaternion_to_roll_pitch_yaw(base_quat)
 
         # ---- callback (:774-848) ----
-        measured_heights = self._get_heights(base_pos, base_rpy)
+        # the pre-reset scan is only needed by the sampling-based planner; the
+        # observation scan (mh_o below) is identical for every non-reset env
+        if cfg.commands.sampling_based_planning:
+            measured_heights = self._get_heights(base_pos, base_rpy)
         idx = state.curr_pose_index
         target = jnp.take_along_axis(state.trajectories, idx[:, None, None], axis=1)[:, 0, :]
         rel_lin, rel_rot = self._relative_pose(target, base_pos, base_quat, base_rpy)
@@ -607,9 +610,8 @@ class LeggedEnv:
         commands_o = jnp.where(d1, self._commands(target_o, rel_lin_o, rel_rot_o), commands)
         local_target = jnp.where(d1, target_o, local_target)
         mh_o = self._get_heights(base_pos_o, base_rpy_o)
-        measured_heights = jnp.where(d2[..., None], mh_o, measured_heights)
 
-        heights = obs_lib.height_obs(cfg, measured_heights, base_pos_o[:, 2], base_rpy_o[:, 1])
+        heights = obs_lib.height_obs(cfg, mh_o, base_pos_o[:, 2], base_rpy_o[:, 1])
         scalars = obs_lib.scalar_obs(
             cfg, projected_gravity=proj_grav_o, commands=commands_o,
             dof_pos=phys.qj, default_dof_pos=self.default_dof_pos,
