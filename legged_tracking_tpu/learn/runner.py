@@ -132,6 +132,11 @@ class Runner:
                 rec = {k2: float(v) for k2, v in m.items()}
                 rec.update({k2: float(v) for k2, v in ep_means.items()})
                 rec.update({"it": it, "fps": fps, "timesteps": self.tot_timesteps})
+                # command-curriculum telemetry (SlotCache analogue)
+                if getattr(self.env_state, "curriculum_weights", None) is not None:
+                    w = np.asarray(self.env_state.curriculum_weights)
+                    rec["curriculum_unlocked_frac"] = float((w > 0).mean())
+                    rec["curriculum_weight_mean"] = float(w.mean())
                 self.history.append(rec)
                 if verbose:
                     print(f"it {it:5d} | fps {fps:9.0f} | rew {rec.get('rew_total', 0):8.3f} | "
