@@ -108,19 +108,11 @@ def sample_height_nearest(terrain: TerrainArrays, env_tile, env_terrain_origin, 
     legged_robot_trajectory_tracking.py:1948-1956).
 
     Returns (..., P, 2) [ceiling, floor].
-
-    Two-stage gather: first pull each env's tile as a contiguous ROW (fast
-    block gather), then index within the row — random single-element gathers
-    over the whole tile array are slow on TPU.
     """
     tiles = terrain.tiles
-    T, L, h, w = tiles.shape
+    h, w = tiles.shape[2], tiles.shape[3]
     hs = terrain.horizontal_scale
     local = (points_xy - env_terrain_origin[..., None, :2]) / hs
     x0 = jnp.clip(local[..., 0].astype(jnp.int32), 0, h - 2)
     y0 = jnp.clip(local[..., 1].astype(jnp.int32), 0, w - 2)
-    rows = tiles.reshape(T, L * h * w)[env_tile]           # (..., 2*h*w)
-    cell = x0 * w + y0                                     # (..., P)
-    ceil = jnp.take_along_axis(rows, cell, axis=-1)
-    floor = jnp.take_along_axis(rows, cell + h * w, axis=-1)
-    return jnp.stack([ceil, floor], axis=-1)
+    return _gather_layers(tiles, env_tile, x0, y0)
