@@ -55,12 +55,22 @@ def fk(model: Go1Model, base_pos: jnp.ndarray, base_quat: jnp.ndarray, qj: jnp.n
     R_prev, p_prev = Rb[None].repeat(4, axis=0), base_pos[None].repeat(4, axis=0)
     for level in range(3):
         bodies = jnp.asarray(LEVEL_BODIES[level])
-        axes = model.joint_axis[bodies]                      # (4, 3)
         angles = qj[bodies - 1]                              # (4,)
-        Rj = quat.quat_to_matrix(quat.quat_from_angle_axis(angles, axes))
         jp = model.joint_pos[bodies]                         # (4, 3)
         p_new = p_prev + jnp.einsum("lij,lj->li", R_prev, jp)
-        R_new = jnp.einsum("lij,ljk->lik", R_prev, Rj)
+        # Go1 joints are axis-aligned (hips about X, thighs/calves about Y),
+        # so R_prev @ R_axis(θ) is two column updates — no quaternion
+        # construction (the 9-way stack of quat_to_matrix lowered to a slow
+        # serial update chain on TPU)
+        c = jnp.cos(angles)[:, None]
+        s = jnp.sin(angles)[:, None]
+        col0, col1, col2 = R_prev[..., 0], R_prev[..., 1], R_prev[..., 2]
+        if level == 0:   # hip: rotation about local X
+            R_new = jnp.stack([col0, c * col1 + s * col2, -s * col1 + c * col2],
+                              axis=-1)
+        else:            # thigh/calf: rotation about local Y
+            R_new = jnp.stack([c * col0 - s * col2, col1, s * col0 + c * col2],
+                              axis=-1)
         Rs.append(R_new)
         ps.append(p_new)
         R_prev, p_prev = R_new, p_new
