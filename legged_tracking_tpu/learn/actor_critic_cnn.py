@@ -38,6 +38,7 @@ class ACCnnArgs:
     height_map_shape: Tuple[int, int, int] = (2, 21, 11)
     cnn_num_embedding: int = 256
     gru_num_embedding: int = 256
+    normalize_obs: bool = False
 
 
 class HeightMapEncoder(nn.Module):

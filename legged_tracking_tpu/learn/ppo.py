@@ -28,6 +28,7 @@ import optax
 
 from .actor_critic import (ActorCriticCSE, normal_entropy, normal_kl,
                            normal_log_prob)
+from .utils import RunningMeanStd
 
 
 @dataclass
@@ -56,6 +57,7 @@ class TrainState(NamedTuple):
     adapt_opt_state: Any
     learning_rate: jnp.ndarray  # () dynamic (adaptive-KL)
     iteration: jnp.ndarray      # () int32
+    obs_rms: Any = None         # RunningMeanStd over obs_history (normalize_obs)
 
 
 class Transition(NamedTuple):
@@ -88,6 +90,8 @@ class PPO:
             args=ac_args or ACArgs(),
         )
         self._m = type(self.ac)
+        self.normalize_obs = bool(getattr(getattr(self.ac, "args", None),
+                                          "normalize_obs", False))
         # optimizers: dynamic-lr Adam for PPO; fixed-lr Adam for adaptation.
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.args.max_grad_norm),
@@ -116,20 +120,29 @@ class PPO:
             adapt_opt_state=canon(self.adapt_tx.init(params)),
             learning_rate=jnp.asarray(self.args.learning_rate, jnp.float32),
             iteration=jnp.zeros((), jnp.int32),
+            obs_rms=(RunningMeanStd.create((self.env.num_obs_history,))
+                     if self.normalize_obs else None),
         )
 
     # ------------------------------------------------------------- rollout
-    def rollout(self, params, env_state, obs_dict, key):
+    def rollout(self, params, env_state, obs_dict, key, obs_rms=None):
         """T steps of (act -> env.step -> store) under lax.scan
         (Runner.learn inner loop, ppo_cse/__init__.py:137-178).  ``obs_dict``
-        is carried across iterations like the reference's persistent obs."""
+        is carried across iterations like the reference's persistent obs.
+
+        With normalize_obs (AC_Args parity, actor_critic.py:126-129) the
+        obs-history stream is whitened by a running mean/std updated each step;
+        NORMALIZED histories are stored, so the update consumes them as-is."""
         T = self.args.num_steps_per_env
 
         def step(carry, key_t):
-            env_state, obs_dict = carry
+            env_state, obs_dict, obs_rms = carry
             o = obs_dict["obs"]
             h = obs_dict["obs_history"]
             p = obs_dict["privileged_obs"]
+            if self.normalize_obs:
+                h = obs_rms.normalize(h)
+                obs_rms = obs_rms.update(obs_dict["obs_history"])
             mean, std = self.ac.apply(params, o, p, h, method=self._m.action_dist)
             std = jnp.broadcast_to(std, mean.shape)
             actions = mean + std * jax.random.normal(key_t, mean.shape)
@@ -150,12 +163,12 @@ class PPO:
             }
             next_obs = {"obs": out.obs, "privileged_obs": out.privileged_obs,
                         "obs_history": out.obs_history}
-            return (new_env_state, next_obs), (tr, metrics_t)
+            return (new_env_state, next_obs, obs_rms), (tr, metrics_t)
 
         keys = jax.random.split(key, T)
-        (env_state, last_obs), (traj, metrics) = jax.lax.scan(
-            step, (env_state, obs_dict), keys)
-        return env_state, last_obs, traj, metrics
+        (env_state, last_obs, obs_rms), (traj, metrics) = jax.lax.scan(
+            step, (env_state, obs_dict, obs_rms), keys)
+        return env_state, last_obs, traj, metrics, obs_rms
 
     # ----------------------------------------------------------------- GAE
     def compute_gae(self, traj: Transition, last_values):
@@ -282,14 +295,19 @@ class PPO:
     # ------------------------------------------------------- one iteration
     def train_iteration(self, train_state: TrainState, env_state, obs_dict, key):
         k_roll, k_update = jax.random.split(key)
-        env_state, last_obs, traj, roll_metrics = self.rollout(
-            train_state.params, env_state, obs_dict, k_roll)
+        env_state, last_obs, traj, roll_metrics, obs_rms = self.rollout(
+            train_state.params, env_state, obs_dict, k_roll,
+            train_state.obs_rms)
+        last_h = (obs_rms.normalize(last_obs["obs_history"])
+                  if self.normalize_obs else last_obs["obs_history"])
         last_values = self.ac.apply(train_state.params, last_obs["obs"],
                                     last_obs["privileged_obs"],
-                                    last_obs["obs_history"],
+                                    last_h,
                                     method=self._m.evaluate)
         returns, advantages = self.compute_gae(traj, last_values)
         train_state, metrics = self.update(train_state, traj, returns, advantages, k_update)
+        if self.normalize_obs:
+            train_state = train_state._replace(obs_rms=obs_rms)
 
         # episodic metrics: done-masked means over the rollout window
         done = roll_metrics["done"]                       # (T, N)

@@ -187,7 +187,8 @@ def main(args):
             num_obs=env.num_obs, num_privileged_obs=env.num_privileged_obs,
             num_obs_history=env.num_obs_history, num_actions=env.num_actions,
             args=ACCnnArgs(use_cnn=args.cnn, use_gru=args.gru,
-                           height_map_shape=(2, nx, ny)))
+                           height_map_shape=(2, nx, ny),
+                           normalize_obs=args.normalize_obs))
 
     ppo_args = PPOArgs(learning_rate=args.learning_rate, gamma=args.gamma,
                        num_steps_per_env=args.num_steps_per_env)
@@ -198,7 +199,8 @@ def main(args):
         wandb.init(project="legged_tracking_tpu", config=vars(args),
                    name=args.name, dir=args.logdir)
     runner = Runner(env, runner_args=runner_args, ppo_args=ppo_args,
-                    ac_args=ACArgs(), logdir=args.logdir, log_wandb=args.wandb,
+                    ac_args=ACArgs(normalize_obs=args.normalize_obs),
+                    logdir=args.logdir, log_wandb=args.wandb,
                     seed=args.seed, ac=ac, num_devices=args.num_devices)
     history = runner.learn(num_learning_iterations=args.iterations,
                            profile_dir=args.profile_dir)
@@ -224,6 +226,7 @@ def parse_args(argv=None):
     p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--exploration_steps", type=int, default=2500)
     p.add_argument("--num_steps_per_env", type=int, default=24)
+    p.add_argument("--normalize_obs", action="store_true")
 
     p.add_argument("--command_type", default="xy", choices=["xy", "6dof", "xy_norm"])
     p.add_argument("--timestep_in_obs", action="store_true")
