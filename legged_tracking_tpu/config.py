@@ -33,6 +33,9 @@ class EnvCfg:
     num_observation_history: int = 15
     episode_length_s: float = 20.0
     send_timeouts: bool = True
+    env_spacing: float = 3.0
+    num_eval_envs: int = 0          # reference BaseTask eval split (unused by
+                                    # the shipped training scripts)
 
     observe_heights: bool = True
     observe_vel: bool = True

@@ -137,6 +137,15 @@ class LeggedEnv:
         self._observe_jit = jax.jit(self.observe)
         self.state: EnvState | None = None
 
+    @staticmethod
+    def _select_waypoint(trajectories, idx):
+        """trajectories (N, L, 6) indexed per env — as a one-hot contraction:
+        per-element gathers of tiny rows are pathologically slow on TPU
+        (~10 ms/step in device traces), the (N, L) one-hot einsum is free."""
+        L = trajectories.shape[1]
+        onehot = jax.nn.one_hot(idx, L, dtype=trajectories.dtype)
+        return jnp.einsum("nl,nlk->nk", onehot, trajectories)
+
     # ------------------------------------------------------------------ rng
     @staticmethod
     def _fold(keys, tag: int):
@@ -427,7 +436,7 @@ class LeggedEnv:
         if cfg.commands.sampling_based_planning:
             measured_heights = self._get_heights(base_pos, base_rpy)
         idx = state.curr_pose_index
-        target = jnp.take_along_axis(state.trajectories, idx[:, None, None], axis=1)[:, 0, :]
+        target = self._select_waypoint(state.trajectories, idx)
         rel_lin, rel_rot = self._relative_pose(target, base_pos, base_quat, base_rpy)
 
         if cfg.commands.sampling_based_planning:
@@ -605,7 +614,7 @@ class LeggedEnv:
         base_ang_vel_o = qt.quat_rotate_inverse(base_quat_o, phys.v[:, 3:6])
         proj_grav_o = qt.quat_rotate_inverse(
             base_quat_o, jnp.broadcast_to(gravity_vec / jnp.linalg.norm(gravity_vec), (N, 3)))
-        target_o = jnp.take_along_axis(trajectories, idx2[:, None, None], axis=1)[:, 0, :]
+        target_o = self._select_waypoint(trajectories, idx2)
         rel_lin_o, rel_rot_o = self._relative_pose(target_o, base_pos_o, base_quat_o, base_rpy_o)
         commands_o = jnp.where(d1, self._commands(target_o, rel_lin_o, rel_rot_o), commands)
         local_target = jnp.where(d1, target_o, local_target)
@@ -688,8 +697,7 @@ class LeggedEnv:
         proj_grav = qt.quat_rotate_inverse(phys.base_quat, jnp.broadcast_to(g_unit, (N, 3)))
         blv = qt.quat_rotate_inverse(phys.base_quat, phys.v[:, :3])
         bav = qt.quat_rotate_inverse(phys.base_quat, phys.v[:, 3:6])
-        target = jnp.take_along_axis(state.trajectories,
-                                     state.curr_pose_index[:, None, None], axis=1)[:, 0, :]
+        target = self._select_waypoint(state.trajectories, state.curr_pose_index)
         rel_lin, rel_rot = self._relative_pose(target, phys.base_pos, phys.base_quat, base_rpy)
         commands = self._commands(target, rel_lin, rel_rot)
         mh = self._get_heights(phys.base_pos, base_rpy)

@@ -264,5 +264,5 @@ def build_tunnel_terrain(tcfg, num_envs: int, seed: int = 0) -> TerrainArrays:
 def build_terrain(cfg, num_envs: int, seed: int = 0) -> TerrainArrays:
     """Dispatch on mesh_type (reference create_sim, :592-614)."""
     if cfg.terrain.mesh_type == "plane":
-        return plane_terrain(num_envs)
+        return plane_terrain(num_envs, env_spacing=cfg.env.env_spacing)
     return build_tunnel_terrain(cfg.terrain, num_envs, seed)
