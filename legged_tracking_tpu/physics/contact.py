@@ -18,7 +18,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..terrain.heightfield import TerrainArrays, sample_height_bilinear
+from ..terrain.heightfield import (TerrainArrays, sample_height_bilinear,
+                                   sample_patch_bilinear)
 from .dynamics import BodyState
 from .model import Go1Model
 
@@ -50,7 +51,7 @@ def apparent_masses(model: Go1Model, bs: BodyState, mm) -> jnp.ndarray:
 def contact_forces(
     model: Go1Model,
     terrain: TerrainArrays,
-    env_tile,
+    patch,                       # (patch (2,P,P), xs, ys) robot-local window
     env_terrain_origin,
     bs: BodyState,
     W: jnp.ndarray,              # (ns, 3, 3) apparent inverse-mass blocks
@@ -77,10 +78,12 @@ def contact_forces(
     rel = p_s - f.com_w[sb]
     v_s = bs.u[sb] + jnp.cross(bs.omega[sb], rel)                            # (ns,3)
 
-    heights, grads = sample_height_bilinear(
-        terrain, env_tile, env_terrain_origin, p_s[None, :, :2]
-    )
-    heights, grads = heights[0], grads[0]                                    # (ns,2), (ns,2,2)
+    pt, xs, ys = patch
+    heights, grads = sample_patch_bilinear(
+        pt, xs, ys, terrain.horizontal_scale,
+        terrain.tiles.shape[2], terrain.tiles.shape[3],
+        env_terrain_origin, p_s[:, :2],
+    )                                                                        # (ns,2), (ns,2,2)
     h_ceil, h_floor = heights[:, 0], heights[:, 1]
 
     def surface_force(pen, normal):

@@ -14,7 +14,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..terrain.heightfield import TerrainArrays
+from ..terrain.heightfield import TerrainArrays, extract_patch
 from . import contact as _contact
 from . import dynamics
 from .model import Go1Model
@@ -89,6 +89,9 @@ def _control_step_body(
                               state.v, params.com_offset)
     mm0 = dynamics.mass_matrix(model, bs0, params.payload, params.com_offset, state.base_pos)
     W0 = _contact.apparent_masses(model, bs0, mm0)
+    # robot-local terrain window, shared by all substeps (the base moves mm
+    # within one control step; collision spheres stay well inside the margin)
+    patch0 = extract_patch(terrain, env_tile, env_terrain_origin, state.base_pos[:2])
 
     for k in range(decimation):  # static unroll — fuses into one XLA computation
         bs = bs0 if k == 0 else dynamics.body_state(
@@ -98,7 +101,7 @@ def _control_step_body(
             model, mm0, bs, params.com_offset, state.base_pos)
         tau, torque_carry = torque_fn(state.qj, state.v[6:], torque_carry)
         c = _contact.contact_forces(
-            model, terrain, env_tile, env_terrain_origin, bs, W0,
+            model, terrain, patch0, env_terrain_origin, bs, W0,
             params.friction, params.restitution,
             contact_stiffness, contact_damping, sim_dt,
         )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,6 +101,71 @@ def sample_height_bilinear(terrain: TerrainArrays, env_tile, env_terrain_origin,
     dhdy = ((h01 - h00) * (1 - fx) + (h11 - h10) * fx) / hs
     grads = jnp.stack([dhdx, dhdy], axis=-1)               # (..., P, 2, 2)
     return height, grads
+
+
+PATCH = 32  # robot-local patch size (cells) for contact queries: ±0.8 m at
+            # hs=0.05 — collision spheres stay within ±0.5 m of the base
+
+
+def extract_patch(terrain: TerrainArrays, env_tile, env_terrain_origin, base_xy):
+    """Cut a (2, PATCH, PATCH) window of the env's tile around the base.
+
+    Single-env (engine vmaps).  Returns (patch, x_start, y_start) with the
+    start indices clamped so the window stays inside the tile.
+    """
+    tiles = terrain.tiles
+    h, w = tiles.shape[2], tiles.shape[3]
+    hs = terrain.horizontal_scale
+    local = (base_xy - env_terrain_origin[:2]) / hs
+    xs = jnp.clip(local[0].astype(jnp.int32) - PATCH // 2, 0, max(h - PATCH, 0))
+    ys = jnp.clip(local[1].astype(jnp.int32) - PATCH // 2, 0, max(w - PATCH, 0))
+    tile = jax.lax.dynamic_index_in_dim(tiles, env_tile, 0, keepdims=False)
+    patch = jax.lax.dynamic_slice(tile, (0, xs, ys),
+                                  (2, min(PATCH, h), min(PATCH, w)))
+    if h < PATCH or w < PATCH:  # tiny plane tiles: pad by edge replication
+        patch = jnp.pad(patch, ((0, 0), (0, PATCH - min(PATCH, h)),
+                                (0, PATCH - min(PATCH, w))), mode="edge")
+    return patch, xs, ys
+
+
+def sample_patch_bilinear(patch, xs, ys, hs, h, w, env_terrain_origin, points_xy):
+    """Bilinear heights + gradients from a robot-local patch — single env.
+
+    Replaces per-point scalar gathers (the dominant physics cost in device
+    traces, ~29 ms/step at 4096 envs) with separable soft-one-hot
+    contractions: val = Wx @ patch @ Wy^T where Wx/Wy carry the
+    interpolation weights, and d/dx uses the weight derivative.
+
+    Semantics match sample_height_bilinear for points within the patch
+    (guaranteed for collision spheres); points clamp to the patch border
+    beyond ±(PATCH/2) cells of the base.
+    """
+    local = (points_xy - env_terrain_origin[:2]) / hs          # (P, 2)
+    x = jnp.clip(local[:, 0], 0.0, h - 1.001) - xs
+    y = jnp.clip(local[:, 1], 0.0, w - 1.001) - ys
+    x = jnp.clip(x, 0.0, PATCH - 1.001)
+    y = jnp.clip(y, 0.0, PATCH - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+
+    cols = jnp.arange(PATCH)[None, :]
+    at0x = (cols == x0[:, None]).astype(patch.dtype)
+    at1x = (cols == (x0 + 1)[:, None]).astype(patch.dtype)
+    at0y = (cols == y0[:, None]).astype(patch.dtype)
+    at1y = (cols == (y0 + 1)[:, None]).astype(patch.dtype)
+    Wx = at0x * (1 - fx) + at1x * fx                            # (P, PATCH)
+    Wy = at0y * (1 - fy) + at1y * fy
+    dWx = (at1x - at0x) / hs
+    dWy = (at1y - at0y) / hs
+
+    A = jnp.einsum("px,lxy->lpy", Wx, patch)                    # (2, P, PATCH)
+    Ax = jnp.einsum("px,lxy->lpy", dWx, patch)
+    height = jnp.einsum("lpy,py->pl", A, Wy)                    # (P, 2)
+    dhdx = jnp.einsum("lpy,py->pl", Ax, Wy)
+    dhdy = jnp.einsum("lpy,py->pl", A, dWy)
+    return height, jnp.stack([dhdx, dhdy], axis=-1)             # (P,2), (P,2,2)
 
 
 def sample_height_nearest(terrain: TerrainArrays, env_tile, env_terrain_origin, points_xy):
