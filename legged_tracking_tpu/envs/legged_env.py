@@ -35,7 +35,8 @@ from ..config import Cfg
 from ..physics import model as go1_model
 from ..physics.engine import PhysParams, PhysState, control_step
 from ..rewards import RewardCtx, get_container
-from ..terrain.heightfield import TerrainArrays, sample_height_nearest
+from ..terrain.heightfield import (TerrainArrays, extract_patch,
+                                   sample_height_nearest, sample_patch_nearest)
 from ..terrain.tunnel import build_terrain
 from ..utils import quat as qt
 from . import observations as obs_lib
@@ -130,6 +131,12 @@ class LeggedEnv:
         self._robot_size = jnp.asarray([0.3762, 0.0935, 0.114])
         n_cand = self._candidate_poses.shape[0]
         self._plan_chunk = next(c for c in (45, 25, 15, 5, 1) if n_cand % c == 0)
+        # scan patch must cover the measured grid span + camera offset
+        span_x = float(np.max(np.abs(cfg.terrain.measured_points_x))) + 0.15
+        span_y = float(np.max(np.abs(cfg.terrain.measured_points_y))) + 0.15
+        hs_ = cfg.terrain.horizontal_scale
+        self._scan_patch_x = int(2 ** np.ceil(np.log2(2 * span_x / hs_ + 2)))
+        self._scan_patch_y = int(2 ** np.ceil(np.log2(2 * span_y / hs_ + 2)))
 
         # jitted entry points (host convenience API)
         self._step_jit = jax.jit(self.step_fn, donate_argnums=(0,))
@@ -307,8 +314,18 @@ class LeggedEnv:
         if cfg.env.camera_zero:
             cam_xy = jnp.stack([0.12 * jnp.cos(base_rpy[:, 1]), jnp.zeros(N)], axis=-1)
             pts = pts + cam_xy[:, None, :]
-        h = sample_height_nearest(self.terrain, self.terrain.env_tile,
-                                  self.terrain.env_terrain_origin, pts)  # (N, P, 2)
+        # robot-local patch + one-hot contraction (see terrain/heightfield.py;
+        # scalar gathers here cost ~17 ms/step at 4096 envs)
+        th, tw = self.terrain.tiles.shape[2], self.terrain.tiles.shape[3]
+        hs = self.terrain.horizontal_scale
+
+        def one(tile, origin, bxy, p):
+            patch, xs, ys = extract_patch(self.terrain, tile, origin, bxy,
+                                          self._scan_patch_x, self._scan_patch_y)
+            return sample_patch_nearest(patch, xs, ys, hs, th, tw, origin, p)
+
+        h = jax.vmap(one)(self.terrain.env_tile, self.terrain.env_terrain_origin,
+                          base_pos[:, :2], pts)                  # (N, P, 2)
         h = jnp.moveaxis(h, -1, 1).reshape(N, 2, nx, ny)
         return h
 

@@ -107,8 +107,9 @@ PATCH = 32  # robot-local patch size (cells) for contact queries: ±0.8 m at
             # hs=0.05 — collision spheres stay within ±0.5 m of the base
 
 
-def extract_patch(terrain: TerrainArrays, env_tile, env_terrain_origin, base_xy):
-    """Cut a (2, PATCH, PATCH) window of the env's tile around the base.
+def extract_patch(terrain: TerrainArrays, env_tile, env_terrain_origin, base_xy,
+                  px: int = PATCH, py: int = PATCH):
+    """Cut a (2, px, py) window of the env's tile around the base.
 
     Single-env (engine vmaps).  Returns (patch, x_start, y_start) with the
     start indices clamped so the window stays inside the tile.
@@ -117,15 +118,33 @@ def extract_patch(terrain: TerrainArrays, env_tile, env_terrain_origin, base_xy)
     h, w = tiles.shape[2], tiles.shape[3]
     hs = terrain.horizontal_scale
     local = (base_xy - env_terrain_origin[:2]) / hs
-    xs = jnp.clip(local[0].astype(jnp.int32) - PATCH // 2, 0, max(h - PATCH, 0))
-    ys = jnp.clip(local[1].astype(jnp.int32) - PATCH // 2, 0, max(w - PATCH, 0))
+    xs = jnp.clip(local[0].astype(jnp.int32) - px // 2, 0, max(h - px, 0))
+    ys = jnp.clip(local[1].astype(jnp.int32) - py // 2, 0, max(w - py, 0))
     tile = jax.lax.dynamic_index_in_dim(tiles, env_tile, 0, keepdims=False)
     patch = jax.lax.dynamic_slice(tile, (0, xs, ys),
-                                  (2, min(PATCH, h), min(PATCH, w)))
-    if h < PATCH or w < PATCH:  # tiny plane tiles: pad by edge replication
-        patch = jnp.pad(patch, ((0, 0), (0, PATCH - min(PATCH, h)),
-                                (0, PATCH - min(PATCH, w))), mode="edge")
+                                  (2, min(px, h), min(py, w)))
+    if h < px or w < py:        # tiny plane tiles: pad by edge replication
+        patch = jnp.pad(patch, ((0, 0), (0, px - min(px, h)),
+                                (0, py - min(py, w))), mode="edge")
     return patch, xs, ys
+
+
+def sample_patch_nearest(patch, xs, ys, hs, h, w, env_terrain_origin, points_xy):
+    """Nearest-cell heights from a robot-local patch — single env.
+
+    Hard-one-hot analogue of sample_patch_bilinear; semantics of
+    sample_height_nearest for points inside the patch (the 21x11 scan grid
+    spans ±1.17 m while the default scan patch covers ±1.6 x ±0.8 m).
+    Returns (P, 2) [ceiling, floor].
+    """
+    px, py = patch.shape[1], patch.shape[2]
+    local = (points_xy - env_terrain_origin[:2]) / hs
+    x0 = jnp.clip(jnp.clip(local[:, 0].astype(jnp.int32), 0, h - 2) - xs, 0, px - 1)
+    y0 = jnp.clip(jnp.clip(local[:, 1].astype(jnp.int32), 0, w - 2) - ys, 0, py - 1)
+    Hx = (jnp.arange(px)[None, :] == x0[:, None]).astype(patch.dtype)  # (P, px)
+    Hy = (jnp.arange(py)[None, :] == y0[:, None]).astype(patch.dtype)  # (P, py)
+    A = jnp.einsum("px,lxy->lpy", Hx, patch)
+    return jnp.einsum("lpy,py->pl", A, Hy)                              # (P, 2)
 
 
 def sample_patch_bilinear(patch, xs, ys, hs, h, w, env_terrain_origin, points_xy):
