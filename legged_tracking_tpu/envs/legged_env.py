@@ -36,6 +36,7 @@ from ..physics import model as go1_model
 from ..physics.engine import PhysParams, PhysState, control_step
 from ..rewards import RewardCtx, get_container
 from ..terrain.heightfield import (TerrainArrays, extract_patch,
+                                   extract_patches_batched,
                                    sample_height_nearest, sample_patch_nearest)
 from ..terrain.tunnel import build_terrain
 from ..utils import quat as qt
@@ -319,13 +320,12 @@ class LeggedEnv:
         th, tw = self.terrain.tiles.shape[2], self.terrain.tiles.shape[3]
         hs = self.terrain.horizontal_scale
 
-        def one(tile, origin, bxy, p):
-            patch, xs, ys = extract_patch(self.terrain, tile, origin, bxy,
-                                          self._scan_patch_x, self._scan_patch_y)
-            return sample_patch_nearest(patch, xs, ys, hs, th, tw, origin, p)
-
-        h = jax.vmap(one)(self.terrain.env_tile, self.terrain.env_terrain_origin,
-                          base_pos[:, :2], pts)                  # (N, P, 2)
+        patch, xs, ys = extract_patches_batched(
+            self.terrain, self.terrain.env_tile, self.terrain.env_terrain_origin,
+            base_pos[:, :2], self._scan_patch_x, self._scan_patch_y)
+        h = jax.vmap(sample_patch_nearest,
+                     in_axes=(0, 0, 0, None, None, None, 0, 0))(
+            patch, xs, ys, hs, th, tw, self.terrain.env_terrain_origin, pts)
         h = jnp.moveaxis(h, -1, 1).reshape(N, 2, nx, ny)
         return h
 
@@ -424,15 +424,19 @@ class LeggedEnv:
         carry0 = (state.act, state.motor_strength, state.motor_offset,
                   state.kp_factor, state.kd_factor, actions_scaled)
 
-        def one_env(phys, carry, p, tile, torigin):
+        patches = extract_patches_batched(
+            terrain, terrain.env_tile, terrain.env_terrain_origin,
+            state.phys.base_pos[:, :2])
+
+        def one_env(phys, carry, p, patch, torigin):
             return control_step(
-                model, terrain, tile, torigin, phys, self._torque_fn, carry, p,
+                model, terrain, patch, torigin, phys, self._torque_fn, carry, p,
                 cfg.sim.dt, cfg.control.decimation,
                 cfg.sim.contact_stiffness, cfg.sim.contact_damping,
                 cfg.sim.joint_limit_stiffness, cfg.sim.joint_limit_damping)
 
         phys, carry, aux = jax.vmap(one_env)(
-            state.phys, carry0, params, terrain.env_tile, terrain.env_terrain_origin)
+            state.phys, carry0, params, patches, terrain.env_terrain_origin)
         act_state = carry[0]
         torques = aux.torques
         contact_forces = aux.contact_report                       # (N, 17, 3)

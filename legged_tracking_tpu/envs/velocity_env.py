@@ -26,7 +26,8 @@ from ..physics.engine import control_step
 from ..rewards import RewardCtx
 from ..tasks.curriculum import DeviceCurriculum
 from ..tasks.gaits import step_contact_targets
-from ..terrain.heightfield import TerrainArrays, plane_terrain, sample_height_nearest
+from ..terrain.heightfield import (TerrainArrays, extract_patches_batched,
+                                   plane_terrain, sample_height_nearest)
 from ..terrain.legged_gym_terrains import build_velocity_terrain
 from ..utils import quat as qt
 from . import observations as obs_lib
@@ -254,15 +255,19 @@ class VelocityTrackingEnv(LeggedEnv):
         carry0 = (state.act, state.motor_strength, state.motor_offset,
                   state.kp_factor, state.kd_factor, actions_scaled)
 
-        def one_env(phys, carry, p, tile, torigin):
+        patches = extract_patches_batched(
+            terrain, terrain.env_tile, terrain.env_terrain_origin,
+            state.phys.base_pos[:, :2])
+
+        def one_env(phys, carry, p, patch, torigin):
             return control_step(
-                model, terrain, tile, torigin, phys, self._torque_fn, carry, p,
+                model, terrain, patch, torigin, phys, self._torque_fn, carry, p,
                 cfg.sim.dt, cfg.control.decimation,
                 cfg.sim.contact_stiffness, cfg.sim.contact_damping,
                 cfg.sim.joint_limit_stiffness, cfg.sim.joint_limit_damping)
 
         phys, carry, aux = jax.vmap(one_env)(
-            state.phys, carry0, params, terrain.env_tile, terrain.env_terrain_origin)
+            state.phys, carry0, params, patches, terrain.env_terrain_origin)
         act_state = carry[0]
         torques = aux.torques
         contact_forces = aux.contact_report

@@ -14,7 +14,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..terrain.heightfield import TerrainArrays, extract_patch
+from ..terrain.heightfield import TerrainArrays
 from . import contact as _contact
 from . import dynamics
 from .model import Go1Model
@@ -46,7 +46,7 @@ class StepAux(NamedTuple):
 def control_step(
     model: Go1Model,
     terrain: TerrainArrays,
-    env_tile,
+    patch,                      # (patch (2,P,P), xs, ys) robot-local window
     env_terrain_origin,
     state: PhysState,
     torque_fn: Callable,        # (qj, qdj, carry) -> (tau (12,), carry)
@@ -66,7 +66,7 @@ def control_step(
     # too coarse for dynamics (policy nets elsewhere still run bf16-fast).
     with jax.default_matmul_precision("float32"):
         return _control_step_body(
-            model, terrain, env_tile, env_terrain_origin, state, torque_fn,
+            model, terrain, patch, env_terrain_origin, state, torque_fn,
             torque_carry, params, sim_dt, decimation, contact_stiffness,
             contact_damping, joint_limit_stiffness, joint_limit_damping,
             report_acc, c, tau,
@@ -74,7 +74,7 @@ def control_step(
 
 
 def _control_step_body(
-    model, terrain, env_tile, env_terrain_origin, state, torque_fn,
+    model, terrain, patch0, env_terrain_origin, state, torque_fn,
     torque_carry, params, sim_dt, decimation, contact_stiffness,
     contact_damping, joint_limit_stiffness, joint_limit_damping,
     report_acc, c, tau,
@@ -89,9 +89,6 @@ def _control_step_body(
                               state.v, params.com_offset)
     mm0 = dynamics.mass_matrix(model, bs0, params.payload, params.com_offset, state.base_pos)
     W0 = _contact.apparent_masses(model, bs0, mm0)
-    # robot-local terrain window, shared by all substeps (the base moves mm
-    # within one control step; collision spheres stay well inside the margin)
-    patch0 = extract_patch(terrain, env_tile, env_terrain_origin, state.base_pos[:2])
 
     for k in range(decimation):  # static unroll — fuses into one XLA computation
         bs = bs0 if k == 0 else dynamics.body_state(

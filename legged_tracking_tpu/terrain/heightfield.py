@@ -129,6 +129,42 @@ def extract_patch(terrain: TerrainArrays, env_tile, env_terrain_origin, base_xy,
     return patch, xs, ys
 
 
+def extract_patches_batched(terrain: TerrainArrays, env_tile, env_terrain_origin,
+                            base_xy, px: int = PATCH, py: int = PATCH):
+    """Batched robot-local windows for ALL envs at once.
+
+    vmapped dynamic_slice lowers to serialized while-loops on TPU (~29 ms/step
+    measured); this formulation is one contiguous row gather + two one-hot
+    contractions on the MXU.
+
+    base_xy (N, 2) -> (patch (N, 2, px, py), xs (N,), ys (N,)).
+    """
+    tiles = terrain.tiles
+    h, w = tiles.shape[2], tiles.shape[3]
+    hs = terrain.horizontal_scale
+    local = (base_xy - env_terrain_origin[:, :2]) / hs
+    xs = jnp.clip(local[:, 0].astype(jnp.int32) - px // 2, 0, max(h - px, 0))
+    ys = jnp.clip(local[:, 1].astype(jnp.int32) - py // 2, 0, max(w - py, 0))
+    tilesN = tiles[env_tile]                                    # (N, 2, h, w)
+    # Ex[n, p, x] = 1 at x == xs[n] + p (rows beyond the tile select nothing;
+    # xs clamping guarantees in-range when px <= h)
+    Ex = (jnp.arange(h)[None, None, :]
+          == (xs[:, None] + jnp.arange(px)[None, :])[:, :, None]).astype(tiles.dtype)
+    Ey = (jnp.arange(w)[None, None, :]
+          == (ys[:, None] + jnp.arange(py)[None, :])[:, :, None]).astype(tiles.dtype)
+    A = jnp.einsum("nph,nlhw->nlpw", Ex, tilesN)                # (N, 2, px, w)
+    patch = jnp.einsum("nlpw,nqw->nlpq", A, Ey)                 # (N, 2, px, py)
+    if h < px or w < py:        # tiny plane tiles: replicate the edge value
+        # rows/cols beyond the tile came out zero; fill from the last valid
+        if h < px:
+            patch = patch.at[:, :, min(px, h):, :].set(
+                patch[:, :, min(px, h) - 1: min(px, h), :])
+        if w < py:
+            patch = patch.at[:, :, :, min(py, w):].set(
+                patch[:, :, :, min(py, w) - 1: min(py, w)])
+    return patch, xs, ys
+
+
 def sample_patch_nearest(patch, xs, ys, hs, h, w, env_terrain_origin, points_xy):
     """Nearest-cell heights from a robot-local patch — single env.
 

@@ -105,8 +105,10 @@ def _make_step(num_envs, control_type="P"):
     )
 
     def one(state, carry, p, tile, torig):
+        from legged_tracking_tpu.terrain.heightfield import extract_patch
+        patch = extract_patch(terr, tile, torig, state.base_pos[:2])
         return engine.control_step(
-            MODEL, terr, tile, torig, state, torque_fn, carry, p,
+            MODEL, terr, patch, torig, state, torque_fn, carry, p,
             0.005, 4, 5000.0, 50.0, 80.0, 2.0,
         )
 
