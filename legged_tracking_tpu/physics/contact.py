@@ -40,13 +40,21 @@ def apparent_masses(model: Go1Model, bs: BodyState, mm) -> jnp.ndarray:
     """
     f = bs.fk
     sb = model.sphere_body
+    ns = sb.shape[0]
     p_s = f.p[sb] + jnp.einsum("sij,sj->si", f.R[sb], model.sphere_offset)
-    rel = p_s - f.com_w[sb]
-    # skew(rel) @ Jw column-wise == cross(rel, column): elementwise cross
-    # products instead of a padded (ns,3,3)x(ns,3,nv) dot_general
-    Jw = jnp.swapaxes(mm.J[sb, :3, :], 1, 2)          # (ns, nv, 3)
-    Jp = mm.J[sb, 3:6, :] - jnp.swapaxes(
-        jnp.cross(rel[:, None, :], Jw), 1, 2)          # (ns, 3, nv)
+    # point Jacobian built DIRECTLY per sphere (indexing the (nb,6,nv) body
+    # Jacobian materializes a padded (ns,3,nv) gather — ~6 ms/step):
+    #   joint cols: mask * axis_k x (p_s - anchor_k);  base: [I | -skew(p_s-p0)]
+    r_anchor = p_s[:, None, :] - f.anchor_w[None, :, :]           # (ns, nd, 3)
+    Jj = jnp.cross(f.axis_w[None, :, :], r_anchor)                # (ns, nd, 3)
+    Jj = Jj * model.sphere_ancestor_mask[:, :, None]
+    r0 = p_s - f.p[0][None, :]
+    from .kinematics import _skew
+    Jp = jnp.concatenate([
+        jnp.broadcast_to(jnp.eye(3), (ns, 3, 3)),
+        -_skew(r0),
+        jnp.swapaxes(Jj, 1, 2),
+    ], axis=2)                                                    # (ns, 3, nv)
     JpMinv = jnp.einsum("sik,kl->sil", Jp, mm.Minv)
     return jnp.einsum("sil,sjl->sij", JpMinv, Jp)
 

@@ -44,6 +44,7 @@ class Go1Model(NamedTuple):
 
     # collision spheres
     sphere_body: jnp.ndarray    # (ns,) int
+    sphere_ancestor_mask: jnp.ndarray  # (ns, nd) dof-ancestry of each sphere's body
     sphere_offset: jnp.ndarray  # (ns, 3)
     sphere_radius: jnp.ndarray  # (ns,)
     sphere_report: jnp.ndarray  # (ns,) report-slot index
@@ -82,6 +83,7 @@ def make_go1_model(dtype=jnp.float32) -> Go1Model:
         com=f(D.COM),
         inertia=f(D.INERTIA),
         sphere_body=jnp.asarray(D.SPHERE_BODY),
+        sphere_ancestor_mask=f(_ancestor_mask()[np.asarray(D.SPHERE_BODY)]),
         sphere_offset=f(D.SPHERE_OFFSET),
         sphere_radius=f(D.SPHERE_RADIUS),
         sphere_report=jnp.asarray(D.SPHERE_REPORT),
