@@ -1,0 +1,77 @@
+"""Height-query equivalence: patch-based fast paths vs flat reference paths.
+
+The patch samplers exist purely for TPU performance (see
+docs/ARCHITECTURE.md); they must return the SAME values as the flat-gather
+formulations for all points within the patch margin.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legged_tracking_tpu.config import Cfg, config_go1
+from legged_tracking_tpu.terrain.heightfield import (
+    PATCH, extract_patch, extract_patches_batched, sample_height_bilinear,
+    sample_height_nearest, sample_patch_bilinear, sample_patch_nearest)
+from legged_tracking_tpu.terrain.tunnel import build_terrain
+
+
+def make_terrain(n=8):
+    cfg = config_go1(Cfg())
+    cfg.terrain.mesh_type = "trimesh"
+    cfg.terrain.terrain_type = "single_path"
+    cfg.terrain.num_rows = 2
+    cfg.terrain.num_cols = 2
+    cfg.terrain.terrain_length = 4.0
+    cfg.terrain.terrain_width = 2.0
+    cfg.terrain.terrain_ratio_x = 0.9
+    cfg.terrain.terrain_ratio_y = 0.5
+    cfg.terrain.ceiling_height = 0.8
+    cfg.terrain.start_loc = 0.32
+    return build_terrain(cfg, n, seed=5)
+
+
+def test_patch_extraction_batched_matches_single():
+    t = make_terrain()
+    base = np.asarray(t.env_origin)[:, :2] + np.array([0.3, -0.1])
+    pb, xsb, ysb = extract_patches_batched(t, t.env_tile, t.env_terrain_origin,
+                                           jnp.asarray(base))
+    for i in range(4):
+        p, xs, ys = extract_patch(t, t.env_tile[i], t.env_terrain_origin[i],
+                                  jnp.asarray(base[i]))
+        assert int(xs) == int(xsb[i]) and int(ys) == int(ysb[i])
+        np.testing.assert_allclose(np.asarray(p), np.asarray(pb[i]))
+
+
+def test_patch_bilinear_matches_flat():
+    t = make_terrain()
+    rng = np.random.RandomState(0)
+    base = np.asarray(t.env_origin)[:, :2]
+    # points within ±0.5 m of each base (collision-sphere envelope)
+    pts = base[:, None, :] + rng.uniform(-0.5, 0.5, (8, 16, 2))
+    pts = jnp.asarray(pts)
+    h_flat, g_flat = sample_height_bilinear(t, t.env_tile, t.env_terrain_origin, pts)
+    pb, xs, ys = extract_patches_batched(t, t.env_tile, t.env_terrain_origin,
+                                         jnp.asarray(base))
+    th, tw = t.tiles.shape[2], t.tiles.shape[3]
+    h_patch, g_patch = jax.vmap(
+        sample_patch_bilinear, in_axes=(0, 0, 0, None, None, None, 0, 0))(
+        pb, xs, ys, t.horizontal_scale, th, tw, t.env_terrain_origin, pts)
+    np.testing.assert_allclose(np.asarray(h_patch), np.asarray(h_flat), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_patch), np.asarray(g_flat), atol=1e-4)
+
+
+def test_patch_nearest_matches_flat():
+    t = make_terrain()
+    rng = np.random.RandomState(1)
+    base = np.asarray(t.env_origin)[:, :2]
+    pts = base[:, None, :] + rng.uniform(-0.7, 0.7, (8, 24, 2))
+    pts = jnp.asarray(pts)
+    h_flat = sample_height_nearest(t, t.env_tile, t.env_terrain_origin, pts)
+    pb, xs, ys = extract_patches_batched(t, t.env_tile, t.env_terrain_origin,
+                                         jnp.asarray(base), 64, 32)
+    th, tw = t.tiles.shape[2], t.tiles.shape[3]
+    h_patch = jax.vmap(
+        sample_patch_nearest, in_axes=(0, 0, 0, None, None, None, 0, 0))(
+        pb, xs, ys, t.horizontal_scale, th, tw, t.env_terrain_origin, pts)
+    np.testing.assert_allclose(np.asarray(h_patch), np.asarray(h_flat), atol=1e-6)
