@@ -577,12 +577,15 @@ class LeggedEnv:
         # exploration-scale decay (update_curriculum, :171-183)
         exp_lin, exp_yaw = state.exploration_lin_scale, state.exploration_yaw_scale
         if np.isfinite(cfg.rewards.exploration_steps):
+            # reference decrement: raw_scale * dt / exploration_steps per step
+            # (update_curriculum :174); self.reward_scales is already raw*dt,
+            # so the live scale decays to zero over exploration_steps steps
             decay_on = common > cfg.rewards.exploration_steps
             if self._exp_lin_idx >= 0:
-                d = self.reward_scales[self._exp_lin_idx] * self.dt / cfg.rewards.exploration_steps
+                d = self.reward_scales[self._exp_lin_idx] / cfg.rewards.exploration_steps
                 exp_lin = jnp.clip(exp_lin - d * decay_on, 0.0, None)
             if self._exp_yaw_idx >= 0:
-                d = self.reward_scales[self._exp_yaw_idx] * self.dt / cfg.rewards.exploration_steps
+                d = self.reward_scales[self._exp_yaw_idx] / cfg.rewards.exploration_steps
                 exp_yaw = jnp.clip(exp_yaw - d * decay_on, 0.0, None)
 
         # ---- episodic metrics snapshot before reset zeroing ----
