@@ -68,6 +68,10 @@ class Runner:
         if self.runner_args.resume:
             self.load(self.runner_args.resume)
         self.env_state = env._reset_jit(k_env, True)
+        if getattr(self, "_pending_curriculum", None) is not None and \
+                getattr(self.env_state, "curriculum_weights", None) is not None:
+            self.env_state = self.env_state._replace(
+                curriculum_weights=jnp.asarray(self._pending_curriculum))
         self.obs_dict = env._observe_jit(self.env_state)
         if self.mesh is not None:
             from ..parallel import replicate, shard_batch
@@ -81,14 +85,22 @@ class Runner:
     # ------------------------------------------------------------------ io
     def save(self, path: str):
         params_np = jax.tree.map(np.asarray, self.train_state.params)
+        ckpt = {
+            "params": params_np,
+            "learning_rate": float(self.train_state.learning_rate),
+            "iteration": int(self.train_state.iteration),
+            "target_dist": float(self.env_state.target_dist)
+            if self.env_state is not None else 0.0,
+        }
+        # command-curriculum state (reference pickles curriculum distributions,
+        # ppo_cse/__init__.py:224-239 / resume :97-104)
+        if getattr(self.env_state, "curriculum_weights", None) is not None:
+            ckpt["curriculum_weights"] = np.asarray(self.env_state.curriculum_weights)
+        if self.train_state.obs_rms is not None:
+            ckpt["obs_rms"] = jax.tree.map(np.asarray,
+                                           self.train_state.obs_rms._asdict())
         with open(path, "wb") as f:
-            pickle.dump({
-                "params": params_np,
-                "learning_rate": float(self.train_state.learning_rate),
-                "iteration": int(self.train_state.iteration),
-                "target_dist": float(self.env_state.target_dist)
-                if self.env_state is not None else 0.0,
-            }, f)
+            pickle.dump(ckpt, f)
 
     def load(self, path: str):
         with open(path, "rb") as f:
@@ -97,6 +109,11 @@ class Runner:
             params=jax.tree.map(jnp.asarray, ckpt["params"]),
             learning_rate=jnp.asarray(ckpt["learning_rate"]),
             iteration=jnp.asarray(ckpt["iteration"], jnp.int32))
+        if "obs_rms" in ckpt and self.train_state.obs_rms is not None:
+            from .utils import RunningMeanStd
+            self.train_state = self.train_state._replace(
+                obs_rms=RunningMeanStd(**jax.tree.map(jnp.asarray, ckpt["obs_rms"])))
+        self._pending_curriculum = ckpt.get("curriculum_weights")             if self.runner_args.resume_curriculum else None
 
     # ----------------------------------------------------------------- loop
     def learn(self, num_learning_iterations: int, eval_freq: int = 100,
