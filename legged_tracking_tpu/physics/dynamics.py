@@ -32,6 +32,28 @@ from .model import Go1Model
 NV = 18  # 6 base + 12 joints
 
 
+def _mat3_mul(A, B):
+    """(..., 3, 3) @ (..., 3, 3) as component arithmetic — batched tiny
+    dot_generals pad to MXU tiles and dominate traces otherwise."""
+    rows = []
+    for i in range(3):
+        cols = [sum(A[..., i, k] * B[..., k, j] for k in range(3)) for j in range(3)]
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def _mat3_vec(A, v):
+    """(..., 3, 3) @ (..., 3) as component arithmetic."""
+    return jnp.stack(
+        [sum(A[..., i, k] * v[..., k] for k in range(3)) for i in range(3)],
+        axis=-1)
+
+
+def _world_inertia(R, I_body):
+    """R I R^T for per-body constant inertias."""
+    return _mat3_mul(_mat3_mul(R, I_body), jnp.swapaxes(R, -1, -2))
+
+
 class BodyState(NamedTuple):
     fk: kinematics.FK
     J: jnp.ndarray       # (nb, 6, NV)
@@ -97,7 +119,7 @@ def mass_matrix(model: Go1Model, bs: BodyState, payload, com_offset, base_pos) -
     mass = model.mass.at[0].add(payload)                       # (nb,)
 
     # world-frame rotational inertias about COM
-    Iw = jnp.einsum("bij,bjk,blk->bil", f.R, model.inertia, f.R)  # (nb,3,3)
+    Iw = _world_inertia(f.R, model.inertia)                    # (nb,3,3)
 
     Jw = J[:, :3, :]
     Jv = J[:, 3:6, :]
@@ -114,7 +136,7 @@ def refresh_mass_matrix(model: Go1Model, mm0: MassMatrix, bs: BodyState,
     (see engine._control_step_body).  Force projections and the bias term stay
     exact; only the generalized-inertia solve uses the ~20 ms-stale inverse."""
     f = bs.fk
-    Iw = jnp.einsum("bij,bjk,blk->bil", f.R, model.inertia, f.R)
+    Iw = _world_inertia(f.R, model.inertia)
     return MassMatrix(M=mm0.M, Minv=mm0.Minv, J=bs.J, mass=mm0.mass, Iw=Iw)
 
 
@@ -149,9 +171,7 @@ def forward_dynamics(
     alpha_vp, acc_vp = a_vp[:, :3], a_vp[:, 3:]
 
     omega = bs.omega
-    n_bias = jnp.einsum("bij,bj->bi", Iw, alpha_vp) + jnp.cross(
-        omega, jnp.einsum("bij,bj->bi", Iw, omega)
-    )
+    n_bias = _mat3_vec(Iw, alpha_vp) + jnp.cross(omega, _mat3_vec(Iw, omega))
     f_bias = mass[:, None] * acc_vp
     bias = jnp.einsum("bik,bi->k", J[:, :3, :], n_bias) + jnp.einsum(
         "bik,bi->k", J[:, 3:6, :], f_bias
