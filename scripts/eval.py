@@ -38,14 +38,37 @@ def load_env(logdir, num_envs=16):
 
 def load_policy(env, logdir):
     import jax
-    from legged_tracking_tpu.learn import PPO, PPOArgs
+    from legged_tracking_tpu.learn import (ACCnnArgs, ACRmaArgs,
+                                           ActorCriticCNN, ActorCriticRMA,
+                                           PPO, PPOArgs)
 
-    alg = PPO(env, args=PPOArgs())
-    ts = alg.init(jax.random.key(0))
     path = os.path.join(logdir, "ac_weights_last.pkl")
     with open(path, "rb") as f:
         ckpt = pickle.load(f)
     params = jax.tree.map(np.asarray, ckpt["params"])
+
+    # reconstruct the actor-critic family from the checkpoint's param tree
+    # (reference eval.py:38-66 picks ppo_cse vs ppo_cse_cnn from flags)
+    top = params.get("params", {})
+    ac = None
+    if "height_map_encoder" in top:
+        enc = top["height_map_encoder"]
+        cfg = env.cfg
+        nx = len(cfg.terrain.measured_points_x)
+        ny = len(cfg.terrain.measured_points_y)
+        if cfg.terrain.measure_front_half:
+            nx = nx - (nx // 2 + 1)
+        ac = ActorCriticCNN(
+            num_obs=env.num_obs, num_privileged_obs=env.num_privileged_obs,
+            num_obs_history=env.num_obs_history, num_actions=env.num_actions,
+            args=ACCnnArgs(use_cnn="Conv_0" in enc, use_gru="gru" in top,
+                           height_map_shape=(2, nx, ny)))
+    elif "env_factor_encoder" in top:
+        ac = ActorCriticRMA(num_obs=env.num_obs,
+                            num_privileged_obs=env.num_privileged_obs,
+                            num_obs_history=env.num_obs_history,
+                            num_actions=env.num_actions, args=ACRmaArgs())
+    alg = PPO(env, args=PPOArgs(), ac=ac)
     policy = jax.jit(lambda obs, hist: alg.act_inference(params, obs, hist))
     return policy
 
