@@ -49,6 +49,10 @@ class PPOArgs:
     desired_kl: float = 0.01
     max_grad_norm: float = 1.0
     num_steps_per_env: int = 24
+    # eval split: trailing cfg.env.num_eval_envs envs act with the
+    # deterministic teacher instead of the student (Runner.learn eval_expert,
+    # ppo_cse/__init__.py:120,163-167)
+    eval_expert: bool = False
 
 
 class TrainState(NamedTuple):
@@ -92,6 +96,12 @@ class PPO:
         self._m = type(self.ac)
         self.normalize_obs = bool(getattr(getattr(self.ac, "args", None),
                                           "normalize_obs", False))
+        # train/eval env split (reference BaseTask, base_task.py:44-49): the
+        # trailing num_eval_envs envs act deterministically (student or
+        # teacher) and are EXCLUDED from GAE/updates — a held-out on-device
+        # eval population.  Static slice boundary, so everything stays jittable.
+        self.n_eval = int(getattr(env.cfg.env, "num_eval_envs", 0))
+        self.n_train = env.num_envs - self.n_eval
         # optimizers: dynamic-lr Adam for PPO; fixed-lr Adam for adaptation.
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.args.max_grad_norm),
@@ -146,6 +156,18 @@ class PPO:
             mean, std = self.ac.apply(params, o, p, h, method=self._m.action_dist)
             std = jnp.broadcast_to(std, mean.shape)
             actions = mean + std * jax.random.normal(key_t, mean.shape)
+            if self.n_eval:
+                # trailing eval envs act deterministically (Runner.learn,
+                # ppo_cse/__init__.py:160-167): student by default, teacher
+                # with eval_expert
+                if self.args.eval_expert:
+                    a_det = self.ac.apply(params, o, p, h,
+                                          method=self._m.act_teacher)
+                else:
+                    a_det = self.ac.apply(params, o, h,
+                                          method=self._m.act_student)
+                is_eval = (jnp.arange(actions.shape[0]) >= self.n_train)[:, None]
+                actions = jnp.where(is_eval, a_det, actions)
             log_prob = normal_log_prob(mean, std, actions)
             value = self.ac.apply(params, o, p, h, method=self._m.evaluate)
             new_env_state, out = self.env.step_fn(env_state, actions)
@@ -304,27 +326,42 @@ class PPO:
                                     last_obs["privileged_obs"],
                                     last_h,
                                     method=self._m.evaluate)
-        returns, advantages = self.compute_gae(traj, last_values)
-        train_state, metrics = self.update(train_state, traj, returns, advantages, k_update)
+        if self.n_eval:
+            # held-out eval envs never enter GAE or the update
+            # (process_env_step slices [:num_train_envs], __init__.py:177-178)
+            traj_train = jax.tree.map(lambda x: x[:, :self.n_train], traj)
+            last_values = last_values[:self.n_train]
+        else:
+            traj_train = traj
+        returns, advantages = self.compute_gae(traj_train, last_values)
+        train_state, metrics = self.update(train_state, traj_train, returns,
+                                           advantages, k_update)
         if self.normalize_obs:
             train_state = train_state._replace(obs_rms=obs_rms)
 
-        # episodic metrics: done-masked means over the rollout window
-        done = roll_metrics["done"]                       # (T, N)
-        n_done = jnp.maximum(jnp.sum(done), 1)
-        dmask = done.astype(jnp.float32)
+        # episodic metrics: done-masked means over the rollout window,
+        # train/eval populations reported separately (rewbuffer vs
+        # rewbuffer_eval, ppo_cse/__init__.py:137-140,200-214)
+        def ep_metrics(sl, prefix=""):
+            done = roll_metrics["done"][:, sl]            # (T, n)
+            n_done = jnp.maximum(jnp.sum(done), 1)
+            dmask = done.astype(jnp.float32)
+            dmean = lambda x: jnp.sum(x[:, sl] * dmask) / n_done
+            ep_sums = roll_metrics["episode_sums"][:, sl]  # (T, n, K)
+            metrics[prefix + "num_episodes"] = jnp.sum(done)
+            metrics[prefix + "episode_sums_mean"] = (
+                jnp.sum(ep_sums * dmask[..., None], axis=(0, 1)) / n_done)
+            metrics[prefix + "episode_length_mean"] = dmean(
+                roll_metrics["episode_length"].astype(jnp.float32))
+            metrics[prefix + "reached_mean"] = dmean(
+                roll_metrics["reached"].astype(jnp.float32))
+            metrics[prefix + "goal_distance_mean"] = dmean(
+                roll_metrics["goal_distance"])
 
-        def dmean(x):
-            return jnp.sum(x * dmask) / n_done
-
-        ep_sums = roll_metrics["episode_sums"]            # (T, N, K)
-        metrics["num_episodes"] = jnp.sum(done)
-        metrics["mean_reward_per_step"] = jnp.mean(traj.rewards)
-        metrics["episode_sums_mean"] = (
-            jnp.sum(ep_sums * dmask[..., None], axis=(0, 1)) / n_done)
-        metrics["episode_length_mean"] = dmean(roll_metrics["episode_length"].astype(jnp.float32))
-        metrics["reached_mean"] = dmean(roll_metrics["reached"].astype(jnp.float32))
-        metrics["goal_distance_mean"] = dmean(roll_metrics["goal_distance"])
+        metrics["mean_reward_per_step"] = jnp.mean(traj_train.rewards)
+        ep_metrics(slice(0, self.n_train))
+        if self.n_eval:
+            ep_metrics(slice(self.n_train, None), prefix="eval_")
         return train_state, env_state, last_obs, metrics
 
     def train_iteration_jit(self, train_state, env_state, obs_dict, key):

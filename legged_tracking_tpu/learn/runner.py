@@ -146,6 +146,11 @@ class Runner:
                 fps = self.tot_timesteps / (time.time() - t0)
                 ep_means = dict(zip(["rew_" + n for n in env.metric_names],
                                     m.pop("episode_sums_mean")))
+                if "eval_episode_sums_mean" in m:
+                    # held-out eval-env population (rewbuffer_eval analogue)
+                    ep_means.update(zip(
+                        ["eval_rew_" + n for n in env.metric_names],
+                        m.pop("eval_episode_sums_mean")))
                 rec = {k2: float(v) for k2, v in m.items()}
                 rec.update({k2: float(v) for k2, v in ep_means.items()})
                 rec.update({"it": it, "fps": fps, "timesteps": self.tot_timesteps})

@@ -109,12 +109,131 @@ def valid_checking(elevation_map, start_state, goal_state, env_length,
     return False
 
 
+class PoseCostGrid:
+    """Measured tracking-error cost over a (z, roll, pitch) grid.
+
+    The reference's AccuracyObjective (planner.py:141-154) integrates
+    100 x a nearest-bin lookup into a 26x26x26 grid loaded from an
+    error-measurement CSV (create_pose_cost_fn, planner.py:230-251); poses
+    outside the measured box cost the grid maximum.  Same semantics here,
+    vectorised.  The companion per-axis reject test mirrors
+    create_error_reject_fn (planner.py:253-280).
+    """
+
+    def __init__(self, cost, lo, hi, axis_errors=None):
+        self.cost = np.asarray(cost, dtype=np.float64)      # (Nz, Nr, Np)
+        self.lo = np.asarray(lo, dtype=np.float64)          # (3,) z/roll/pitch
+        self.hi = np.asarray(hi, dtype=np.float64)
+        self.interval = (self.hi - self.lo) / np.array(self.cost.shape)
+        self.max_cost = float(self.cost.max())
+        self.axis_errors = axis_errors                      # (3, Nz, Nr, Np) | None
+
+    @classmethod
+    def from_csv(cls, path, n: int = 26):
+        """Reference CSV layout: space-delimited rows of
+        [z, roll, pitch, z_err, roll_err, pitch_err, ..., total_cost] spanning
+        an n^3 (z, roll, pitch) sweep (planner.py:230-241)."""
+        arr = np.loadtxt(path, delimiter=" ", dtype=float)
+        shape = (n, n, n)
+        cost = arr[:, -1].reshape(shape)
+        z = arr[:, 0].reshape(shape)[:, 0, 0]
+        roll = arr[:, 1].reshape(shape)[0, :, 0]
+        pitch = arr[:, 2].reshape(shape)[0, 0, :]
+        axis_errors = None
+        if arr.shape[1] >= 7:
+            axis_errors = np.stack([arr[:, 3 + i].reshape(shape) for i in range(3)])
+        return cls(cost, lo=[z[0], roll[0], pitch[0]],
+                   hi=[z[-1], roll[-1], pitch[-1]], axis_errors=axis_errors)
+
+    def _bins(self, pose):
+        pose = np.asarray(pose, dtype=np.float64)
+        inside = bool(np.all(pose > self.lo) and np.all(pose < self.hi))
+        idx = tuple(((pose - self.lo) / self.interval).astype(int)) if inside else None
+        return inside, idx
+
+    def __call__(self, z, roll=0.0, pitch=0.0) -> float:
+        inside, idx = self._bins([z, roll, pitch])
+        return float(self.cost[idx]) if inside else self.max_cost
+
+    def reject(self, z, roll, pitch, thresholds=(0.05, 0.3, 0.3)) -> bool:
+        """True if the measured per-axis tracking error at this pose exceeds
+        any threshold (create_error_reject_fn, planner.py:267-280)."""
+        if self.axis_errors is None:
+            return False
+        inside, idx = self._bins([z, roll, pitch])
+        if not inside:
+            return True
+        err = self.axis_errors[(slice(None),) + idx]
+        return bool(np.any(err > np.asarray(thresholds)))
+
+
+def path_cost(path, objective: str = "pathlength", pose_cost=None) -> float:
+    """Objective value of an (L, 4) [x, y, z, yaw] path.
+
+    pathlength -> Euclidean xyz length (PathLengthOptimizationObjective);
+    trackingerror -> trapezoidal integral of 100 x pose cost along the path
+    (StateCostIntegralObjective with interpolation, planner.py:141-154);
+    balanced -> sum of both with weight 1.0 each (MultiOptimizationObjective,
+    planner.py:409-413).
+    """
+    path = np.asarray(path, dtype=np.float64)
+    seg = np.linalg.norm(np.diff(path[:, :3], axis=0), axis=1)
+    length = float(seg.sum())
+    if objective == "pathlength":
+        return length
+    if pose_cost is None:
+        raise ValueError(f"objective {objective!r} needs a PoseCostGrid")
+    c = np.array([100.0 * pose_cost(p[2]) for p in path])
+    integral = float(np.sum(0.5 * (c[:-1] + c[1:]) * seg))
+    if objective == "trackingerror":
+        return integral
+    if objective == "balanced":
+        return length + integral
+    raise ValueError(f"unknown objective {objective!r}")
+
+
+def _segment_valid(valid, a, b, resolution=0.08):
+    a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+    n = max(int(np.ceil(np.linalg.norm(b[:3] - a[:3]) / resolution)), 1)
+    for t in np.linspace(0.0, 1.0, n + 1):
+        p = a + t * (b - a)
+        if not valid(p):
+            return False
+    return True
+
+
+def shortcut(path, valid, objective: str = "pathlength", pose_cost=None,
+             iters: int = 100, seed: int = 0):
+    """Random-shortcut smoothing that only accepts objective-improving cuts —
+    the feasible-planner counterpart of OMPL's optimizing planners
+    (reference uses RRT*/BIT* with the objective, planner.py:417-424)."""
+    rng = np.random.RandomState(seed)
+    path = [np.asarray(p, dtype=np.float64) for p in path]
+    for _ in range(iters):
+        if len(path) < 3:
+            break
+        i = rng.randint(0, len(path) - 2)
+        j = rng.randint(i + 2, len(path))
+        cand = path[:i + 1] + path[j:]
+        if not _segment_valid(valid, path[i], path[j]):
+            continue
+        if path_cost(np.stack(cand), objective, pose_cost) < \
+                path_cost(np.stack(path), objective, pose_cost):
+            path = cand
+    return np.stack(path)
+
+
 def plan(elevation_map, start, goal, horizontal_scale, max_iters: int = 2000,
-         step_size: float = 0.15, goal_bias: float = 0.2, seed: int = 0):
+         step_size: float = 0.15, goal_bias: float = 0.2, seed: int = 0,
+         objective: str = "pathlength", pose_cost: PoseCostGrid | None = None,
+         shortcut_iters: int = 100):
     """Goal-biased RRT over (x, y, z, yaw) (reference planner.plan, :318-456).
 
     start/goal: (4,) [x, y, z, yaw] in map-local meters.  Returns an (L, 4)
-    waypoint array or None.
+    waypoint array or None.  ``objective`` selects the optimization objective
+    applied during post-smoothing: "pathlength" | "trackingerror" |
+    "balanced" (reference planner.py:405-416; the latter two need a
+    ``PoseCostGrid``).
     """
     rng = np.random.RandomState(seed)
     hs = horizontal_scale
@@ -153,5 +272,9 @@ def plan(elevation_map, start, goal, horizontal_scale, max_iters: int = 2000,
             while k >= 0:
                 path.append(nodes[k])
                 k = parents[k]
-            return np.stack(path[::-1])
+            raw = np.stack(path[::-1])
+            if shortcut_iters > 0:
+                return shortcut(raw, valid, objective, pose_cost,
+                                iters=shortcut_iters, seed=seed)
+            return raw
     return None

@@ -74,6 +74,7 @@ def build_cfg(args):
 
     # terrain (reference train.py:127-170)
     cfg.env.num_envs = args.num_envs
+    cfg.env.num_eval_envs = args.num_eval_envs
     cfg.terrain.num_cols = args.terrain_cols
     cfg.terrain.num_rows = args.terrain_rows
     if args.terrain == "plane":
@@ -240,6 +241,9 @@ def parse_args(argv=None):
     p.add_argument("--terrain", default="single_path",
                    choices=["single_path", "multi_path", "plane"])
     p.add_argument("--num_envs", type=int, default=1024)
+    p.add_argument("--num_eval_envs", type=int, default=0,
+                   help="trailing held-out envs driven by the deterministic "
+                        "policy, excluded from PPO updates")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--terrain_rows", type=int, default=32)

@@ -2,7 +2,9 @@
 
 import numpy as np
 
-from legged_tracking_tpu.utils.planner import _pose_valid, plan, valid_checking
+from legged_tracking_tpu.utils.planner import (PoseCostGrid, _pose_valid,
+                                               path_cost, plan, shortcut,
+                                               valid_checking)
 
 
 def make_tunnel(nx=60, ny=30, hs=0.05, ceiling=0.8, blocked=False):
@@ -34,9 +36,57 @@ def test_rrt_plan():
     emap, hs = make_tunnel()
     start = np.array([0.4, 0.75, 0.27, 0.0])
     goal = np.array([2.4, 0.75, 0.27, 0.0])
-    path = plan(emap, start, goal, hs, seed=1)
+    path = plan(emap, start, goal, hs, seed=1, shortcut_iters=0)
     assert path is not None
     assert np.linalg.norm(path[-1][:2] - goal[:2]) < 0.2
     # consecutive waypoints are close
     steps = np.linalg.norm(np.diff(path[:, :3], axis=0), axis=1)
     assert steps.max() < 0.5
+
+
+def _synthetic_cost_grid(n=8):
+    # cost rises sharply below z=0.3 (crawling low is "hard to track")
+    z = np.linspace(0.05, 0.6, n)
+    cost = np.broadcast_to((0.3 - z[:, None, None]).clip(0) * 10.0,
+                           (n, n, n)).copy()
+    return PoseCostGrid(cost, lo=[0.05, -0.5, -0.5], hi=[0.6, 0.5, 0.5])
+
+
+def test_pose_cost_grid_lookup_and_csv(tmp_path):
+    grid = _synthetic_cost_grid()
+    assert grid(0.5) == 0.0
+    assert grid(0.1) > grid(0.25) > 0.0
+    # outside the measured box -> max cost (planner.py:249-250)
+    assert grid(2.0) == grid.cost.max()
+    # CSV roundtrip in the reference layout (z roll pitch errs... total_cost)
+    n = 4
+    zz, rr, pp = np.meshgrid(np.linspace(0.1, 0.5, n), np.linspace(-0.4, 0.4, n),
+                             np.linspace(-0.4, 0.4, n), indexing="ij")
+    rows = np.stack([zz.ravel(), rr.ravel(), pp.ravel(),
+                     np.zeros(n**3), np.zeros(n**3), np.zeros(n**3),
+                     zz.ravel() * 2.0], axis=1)
+    f = tmp_path / "err.csv"
+    np.savetxt(f, rows, delimiter=" ")
+    g2 = PoseCostGrid.from_csv(str(f), n=n)
+    assert abs(g2(0.3) - 0.6) < 0.2
+    assert not g2.reject(0.3, 0.0, 0.0)
+
+
+def test_objective_shapes_plan():
+    emap, hs = make_tunnel()
+    grid = _synthetic_cost_grid()
+    start = np.array([0.4, 0.75, 0.27, 0.0])
+    goal = np.array([2.4, 0.75, 0.27, 0.0])
+    p_len = plan(emap, start, goal, hs, seed=1, objective="pathlength")
+    p_err = plan(emap, start, goal, hs, seed=1, objective="trackingerror",
+                 pose_cost=grid)
+    p_bal = plan(emap, start, goal, hs, seed=1, objective="balanced",
+                 pose_cost=grid)
+    assert p_len is not None and p_err is not None and p_bal is not None
+    raw = plan(emap, start, goal, hs, seed=1, shortcut_iters=0)
+    # shortcutting never worsens the objective it optimizes
+    assert path_cost(p_len, "pathlength") <= path_cost(raw, "pathlength") + 1e-9
+    assert (path_cost(p_err, "trackingerror", grid)
+            <= path_cost(raw, "trackingerror", grid) + 1e-9)
+    assert (path_cost(p_bal, "balanced", grid)
+            <= path_cost(raw, "balanced", grid) + 1e-9)

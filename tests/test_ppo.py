@@ -47,6 +47,34 @@ def test_train_iteration():
     assert bool(jnp.isfinite(metrics3["value_loss"]))
 
 
+def test_eval_env_split():
+    """Trailing num_eval_envs act deterministically and are excluded from the
+    update (reference ppo_cse/__init__.py:160-178)."""
+    env = make_env(num_envs=8)
+    env.cfg.env.num_eval_envs = 4
+    alg = PPO(env, args=PPOArgs(num_steps_per_env=4, num_mini_batches=2,
+                                num_learning_epochs=1))
+    assert alg.n_train == 4 and alg.n_eval == 4
+    ts = alg.init(jax.random.key(0))
+    env_state = env.reset_fn(jax.random.key(1), False)
+    obs = jax.jit(env.observe)(env_state)
+
+    # same start, different action noise: eval actions identical, train differ
+    roll = jax.jit(lambda k: alg.rollout(ts.params, env_state, obs, k,
+                                         ts.obs_rms)[2].actions)
+    a1, a2 = roll(jax.random.key(2)), roll(jax.random.key(3))
+    assert np.allclose(np.asarray(a1[0, 4:]), np.asarray(a2[0, 4:]))
+    assert not np.allclose(np.asarray(a1[0, :4]), np.asarray(a2[0, :4]))
+
+    p0 = np.asarray(jax.tree.leaves(ts.params)[0]).copy()  # ts is donated below
+    ts2, _, _, metrics = alg.train_iteration_jit(ts, env_state, obs,
+                                                 jax.random.key(4))
+    assert "eval_reached_mean" in metrics and "eval_episode_sums_mean" in metrics
+    for k, v in metrics.items():
+        assert bool(jnp.all(jnp.isfinite(v))), k
+    assert not np.allclose(p0, np.asarray(jax.tree.leaves(ts2.params)[0]))
+
+
 def test_gae_matches_reference_recursion():
     """GAE vs a direct numpy port of rollout_storage.compute_returns (:76-90)."""
     env = make_env(num_envs=2)
