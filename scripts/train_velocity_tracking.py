@@ -93,9 +93,9 @@ def build_cfg(args):
     cfg.rewards.gait_force_sigma = 100.0
     cfg.rewards.gait_vel_sigma = 10.0
     cfg.rewards.reward_container_name = "CoRLRewards"
-    cfg.rewards.only_positive_rewards = False
-    cfg.rewards.only_positive_rewards_ji22_style = True
-    cfg.rewards.sigma_rew_neg = 0.02
+    cfg.rewards.only_positive_rewards = args.only_positive
+    cfg.rewards.only_positive_rewards_ji22_style = not args.only_positive
+    cfg.rewards.sigma_rew_neg = args.sigma_rew_neg
 
     rs = cfg.reward_scales
     # zero out tunnel-task defaults
@@ -211,6 +211,11 @@ def parse_args(argv=None):
     p.add_argument("--terrain_rows", type=int, default=30)
     p.add_argument("--terrain_cols", type=int, default=30)
     p.add_argument("--pd_control", action="store_true")
+    # ji22 shaping knobs (defaults = reference velocity config; see
+    # docs/TRAINING_NOTES.md for why a larger sigma_rew_neg or an
+    # only_positive warm-up helps cold starts on this engine)
+    p.add_argument("--sigma_rew_neg", type=float, default=0.02)
+    p.add_argument("--only_positive", action="store_true")
     return p.parse_args(argv)
 
 
