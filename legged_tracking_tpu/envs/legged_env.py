@@ -117,8 +117,14 @@ class LeggedEnv:
             [scales[k] * self.dt for k in self.reward_names], dtype=np.float32)
         self._exp_lin_idx = self.reward_names.index("exploration_lin") if "exploration_lin" in self.reward_names else -1
         self._exp_yaw_idx = self.reward_names.index("exploration_yaw") if "exploration_yaw" in self.reward_names else -1
-        # episode_sums columns: terms + total/total_pos/total_neg
-        self.metric_names = self.reward_names + ["total", "total_pos", "total_neg"]
+        # termination reward: applied AFTER the ji22/positive clipping, and
+        # excluded from the "total" sum (reference compute_reward, :348-353;
+        # _reward_termination = reset & ~timeout per legged_gym semantics)
+        self.termination_scale = float(scales.get("termination", 0.0)) * self.dt
+        # episode_sums columns: terms [+ termination] + total/total_pos/total_neg
+        self.metric_names = (self.reward_names
+                             + (["termination"] if self.termination_scale else [])
+                             + ["total", "total_pos", "total_neg"])
 
         # actuator model
         self.actuator_net = actuators.load_actuator_net()
@@ -571,8 +577,16 @@ class LeggedEnv:
             rew = jnp.clip(rew, 0.0, None)
         elif cfg.rewards.only_positive_rewards_ji22_style:
             rew = rew_pos * jnp.exp(rew_neg / cfg.rewards.sigma_rew_neg)
+        # termination reward after clipping; "total" excludes it (:348-353)
+        term_cols = []
+        if self.termination_scale:
+            term_rew = self.termination_scale * (done & ~time_out).astype(jnp.float32)
+            term_cols = [term_rew[:, None]]
         episode_sums = state.episode_sums + jnp.concatenate(
-            [rews, rew[:, None], rew_pos[:, None], rew_neg[:, None]], axis=-1)
+            [rews] + term_cols + [rew[:, None], rew_pos[:, None], rew_neg[:, None]],
+            axis=-1)
+        if self.termination_scale:
+            rew = rew + term_rew
 
         # exploration-scale decay (update_curriculum, :171-183)
         exp_lin, exp_yaw = state.exploration_lin_scale, state.exploration_yaw_scale
@@ -688,7 +702,7 @@ class LeggedEnv:
             relative_linear=rel_lin_o, relative_rotation=rel_rot_o,
             local_relative_linear=local_rel_lin, local_relative_rotation=local_rel_rot,
             actions=actions,
-            last_actions=actions,
+            last_actions=jnp.where(d1, 0.0, actions),
             last_last_actions=jnp.where(d1, 0.0, state.last_actions),
             last_dof_vel=phys.v[:, 6:],
             last_joint_pos_target=act_state.joint_pos_target,

@@ -409,8 +409,17 @@ class VelocityTrackingEnv(LeggedEnv):
             rew = jnp.clip(rew, 0.0, None)
         elif cfg.rewards.only_positive_rewards_ji22_style:
             rew = rew_pos * jnp.exp(rew_neg / cfg.rewards.sigma_rew_neg)
+        # termination reward after clipping; "total" excludes it
+        # (compute_reward, legged_robot_trajectory_tracking.py:348-353)
+        term_cols = []
+        if self.termination_scale:
+            term_rew = self.termination_scale * (done & ~time_out).astype(jnp.float32)
+            term_cols = [term_rew[:, None]]
         episode_sums = state.episode_sums + jnp.concatenate(
-            [rews, rew[:, None], rew_pos[:, None], rew_neg[:, None]], axis=-1)
+            [rews] + term_cols + [rew[:, None], rew_pos[:, None], rew_neg[:, None]],
+            axis=-1)
+        if self.termination_scale:
+            rew = rew + term_rew
 
         # command_sums for the curriculum (reference compute_reward :297-301:
         # contact-shaped terms accumulate scale + rew)
@@ -507,7 +516,7 @@ class VelocityTrackingEnv(LeggedEnv):
             gravity_vec=gravity_vec,
             episode_length=ep_len_post, common_step=common,
             commands=commands,
-            actions=actions, last_actions=actions,
+            actions=actions, last_actions=jnp.where(d1, 0.0, actions),
             last_last_actions=jnp.where(d1, 0.0, state.last_actions),
             last_dof_vel=phys.v[:, 6:],
             last_joint_pos_target=act_state.joint_pos_target,

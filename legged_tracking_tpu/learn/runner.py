@@ -72,6 +72,10 @@ class Runner:
                 getattr(self.env_state, "curriculum_weights", None) is not None:
             self.env_state = self.env_state._replace(
                 curriculum_weights=jnp.asarray(self._pending_curriculum))
+        if getattr(self, "_pending_target_dist", None) is not None:
+            # resume fix-target curriculum progress (goal distance)
+            self.env_state = self.env_state._replace(
+                target_dist=jnp.asarray(self._pending_target_dist, jnp.float32))
         self.obs_dict = env._observe_jit(self.env_state)
         if self.mesh is not None:
             from ..parallel import replicate, shard_batch
@@ -87,6 +91,9 @@ class Runner:
         params_np = jax.tree.map(np.asarray, self.train_state.params)
         ckpt = {
             "params": params_np,
+            "opt_state": jax.tree.map(np.asarray, self.train_state.opt_state),
+            "adapt_opt_state": jax.tree.map(np.asarray,
+                                            self.train_state.adapt_opt_state),
             "learning_rate": float(self.train_state.learning_rate),
             "iteration": int(self.train_state.iteration),
             "target_dist": float(self.env_state.target_dist)
@@ -114,6 +121,16 @@ class Runner:
             self.train_state = self.train_state._replace(
                 obs_rms=RunningMeanStd(**jax.tree.map(jnp.asarray, ckpt["obs_rms"])))
         self._pending_curriculum = ckpt.get("curriculum_weights")             if self.runner_args.resume_curriculum else None
+        # fix-target curriculum progress (goal distance) resumes too
+        self._pending_target_dist = ckpt.get("target_dist")             if self.runner_args.resume_curriculum else None
+        # Adam moments + adaptation optimizer resume (reference loads the full
+        # optimizer state_dict, ppo_cse/__init__.py:97-104); older checkpoints
+        # without them fall back to fresh moments.
+        if "opt_state" in ckpt:
+            self.train_state = self.train_state._replace(
+                opt_state=jax.tree.map(jnp.asarray, ckpt["opt_state"]),
+                adapt_opt_state=jax.tree.map(jnp.asarray,
+                                             ckpt["adapt_opt_state"]))
 
     # ----------------------------------------------------------------- loop
     def learn(self, num_learning_iterations: int, eval_freq: int = 100,
@@ -141,6 +158,27 @@ class Runner:
                                              self.obs_dict, k)
             self.tot_timesteps += steps_per_iter
 
+            # fix-target curriculum (reference update_curriculum, :186-196):
+            # accumulate EVERY iteration — the reference pushes each episode's
+            # outcome into a 4000-deep deque at reset time; gating this on the
+            # log branch made the window fill log_freq x slower.  Cost: one
+            # 2-scalar device fetch per iteration.
+            if cfg.curriculum_thresholds.cl_fix_target:
+                n_eps = int(metrics["num_episodes"])
+                if n_eps > 0:
+                    self._reached_window.extend(
+                        [float(metrics["reached_mean"])] * n_eps)
+                if (len(self._reached_window) >= 4000 and
+                        np.mean(self._reached_window) >
+                        cfg.curriculum_thresholds.cl_switch_threshold):
+                    new_dist = min(
+                        float(self.env_state.target_dist)
+                        + cfg.curriculum_thresholds.cl_switch_delta,
+                        cfg.curriculum_thresholds.cl_goal_target_dist)
+                    self.env_state = self.env_state._replace(
+                        target_dist=jnp.asarray(new_dist, jnp.float32))
+                    self._reached_window.clear()
+
             if (it % self.runner_args.log_freq == 0) or it == num_learning_iterations - 1:
                 m = jax.tree.map(np.asarray, metrics)
                 fps = self.tot_timesteps / (time.time() - t0)
@@ -154,6 +192,8 @@ class Runner:
                 rec = {k2: float(v) for k2, v in m.items()}
                 rec.update({k2: float(v) for k2, v in ep_means.items()})
                 rec.update({"it": it, "fps": fps, "timesteps": self.tot_timesteps})
+                if cfg.curriculum_thresholds.cl_fix_target:
+                    rec["target_dist"] = float(self.env_state.target_dist)
                 # command-curriculum telemetry (SlotCache analogue)
                 if getattr(self.env_state, "curriculum_weights", None) is not None:
                     w = np.asarray(self.env_state.curriculum_weights)
@@ -171,22 +211,6 @@ class Runner:
                 if self.logdir:
                     with open(os.path.join(self.logdir, "metrics.jsonl"), "a") as f:
                         f.write(json.dumps(rec) + "\n")
-
-                # fix-target curriculum (reference update_curriculum, :186-196)
-                if cfg.curriculum_thresholds.cl_fix_target:
-                    n_eps = int(m["num_episodes"])
-                    self._reached_window.extend(
-                        [float(m["reached_mean"])] * max(n_eps, 0))
-                    if (len(self._reached_window) >= 4000 and
-                            np.mean(self._reached_window) >
-                            cfg.curriculum_thresholds.cl_switch_threshold):
-                        new_dist = min(
-                            float(self.env_state.target_dist)
-                            + cfg.curriculum_thresholds.cl_switch_delta,
-                            cfg.curriculum_thresholds.cl_goal_target_dist)
-                        self.env_state = self.env_state._replace(
-                            target_dist=jnp.asarray(new_dist, jnp.float32))
-                        self._reached_window.clear()
 
             if self.logdir and (it % self.runner_args.save_interval == 0) and it > 0:
                 self.save(os.path.join(self.logdir, f"ac_weights_{it:06d}.pkl"))

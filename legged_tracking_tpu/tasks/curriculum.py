@@ -155,4 +155,7 @@ class DeviceCurriculum:
                                 dtype=weights.dtype)       # (N, C)
         contrib = (hits & success[:, None]).astype(weights.dtype)
         bump = jnp.einsum("nc,nb->cb", cat_oh, contrib)
-        return jnp.clip(weights + 0.2 * (bump > 0), 0.0, 1.0)
+        # reference stacking semantics (curriculum.py:148-154): each successful
+        # env bumps every bin in its neighbourhood by +0.2, and overlapping
+        # neighbourhoods accumulate additively before the clip
+        return jnp.clip(weights + 0.2 * bump, 0.0, 1.0)
