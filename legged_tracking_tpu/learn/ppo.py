@@ -182,6 +182,15 @@ class PPO:
                 "episode_length": out.info["episode_length"],
                 "reached": out.info["reached"],
                 "goal_distance": out.info["goal_distance"],
+                # env0 kinematic frame for training-time video (the TPU-native
+                # analogue of the reference's camera capture during training,
+                # ppo_cse/__init__.py:322-345): 19 floats/step, rendered
+                # offline by the runner every save_video_interval iterations.
+                "video": {
+                    "base_pos": new_env_state.phys.base_pos[0],
+                    "base_quat": new_env_state.phys.base_quat[0],
+                    "qj": new_env_state.phys.qj[0],
+                },
             }
             next_obs = {"obs": out.obs, "privileged_obs": out.privileged_obs,
                         "obs_history": out.obs_history}
@@ -358,6 +367,7 @@ class PPO:
             metrics[prefix + "goal_distance_mean"] = dmean(
                 roll_metrics["goal_distance"])
 
+        metrics["video"] = roll_metrics["video"]
         metrics["mean_reward_per_step"] = jnp.mean(traj_train.rewards)
         ep_metrics(slice(0, self.n_train))
         if self.n_eval:

@@ -36,6 +36,10 @@ class RunnerArgs:
     log_freq: int = 10
     resume: str = ""
     resume_curriculum: bool = True
+    # training-time video of env0 (reference RunnerArgs.save_video_interval,
+    # ppo_cse/__init__.py:58 + :322-345); 0 disables
+    save_video_interval: int = 0
+    video_frames: int = 250
 
 
 class Runner:
@@ -84,6 +88,7 @@ class Runner:
             self.obs_dict = shard_batch(self.obs_dict, env.num_envs, self.mesh)
         self.tot_timesteps = 0
         self._reached_window = deque(maxlen=4000)
+        self._video_buf = []
         self.history = []
 
     # ------------------------------------------------------------------ io
@@ -158,6 +163,18 @@ class Runner:
                                              self.obs_dict, k)
             self.tot_timesteps += steps_per_iter
 
+            video = metrics.pop("video", None)
+            vint = self.runner_args.save_video_interval
+            if vint and self.logdir and video is not None:
+                # keep the trailing video_frames of env0's (T,·) kinematics as
+                # device arrays (no host sync); render on video iterations
+                self._video_buf.append(video)
+                keep = max(self.runner_args.video_frames //
+                           self.alg.args.num_steps_per_env + 1, 1)
+                self._video_buf = self._video_buf[-keep:]
+                if it % vint == 0 and it > 0:
+                    self._write_training_video(it)
+
             # fix-target curriculum (reference update_curriculum, :186-196):
             # accumulate EVERY iteration — the reference pushes each episode's
             # outcome into a 4000-deep deque at reset time; gating this on the
@@ -223,6 +240,39 @@ class Runner:
             export_policy_npz(os.path.join(self.logdir, "policy.npz"),
                               jax.tree.map(np.asarray, self.train_state.params))
         return self.history
+
+    # ---------------------------------------------------------------- video
+    def _write_training_video(self, it: int):
+        """Render the buffered env0 kinematic frames to mp4 (training-time
+        video parity with reference ppo_cse/__init__.py:322-345)."""
+        from ..io.render import render_frames, write_mp4
+        buf = jax.tree.map(np.asarray, self._video_buf)
+        frames = []
+        for chunk in buf:
+            T = chunk["base_pos"].shape[0]
+            for t in range(T):
+                frames.append({
+                    "base_pos": chunk["base_pos"][None, t],
+                    "base_quat": chunk["base_quat"][None, t],
+                    "qj": chunk["qj"][None, t],
+                })
+        frames = frames[-self.runner_args.video_frames:]
+        if not frames:
+            return
+        terrain = getattr(self.env, "terrain", None)
+        if terrain is None or getattr(terrain, "tiles", None) is None:
+            return
+        outdir = os.path.join(self.logdir, "videos")
+        os.makedirs(outdir, exist_ok=True)
+        tile = int(np.asarray(terrain.env_tile)[0])
+        try:
+            path = write_mp4(render_frames(frames, terrain, tile_idx=tile),
+                             os.path.join(outdir, f"train_it{it:06d}.mp4"))
+            if self.log_wandb:
+                import wandb
+                wandb.log({"train_video": wandb.Video(path)}, step=it)
+        except Exception as e:  # rendering must never kill a training run
+            print(f"training-video render failed at it {it}: {e}")
 
     # --------------------------------------------------------------- export
     def get_inference_policy(self):

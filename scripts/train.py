@@ -92,6 +92,19 @@ def build_cfg(args):
         cfg.terrain.p_double = 0.6
         cfg.env.episode_length_s = 10.0
         cfg.commands.sampling_based_planning = False
+    elif args.terrain == "random_pyramid":
+        # published run-20230904 terrain (its config.yaml; the reference's
+        # shipped reached=0.76 checkpoint): 2-layer pyramid-obstacle tunnel
+        cfg.terrain.mesh_type = "trimesh"
+        cfg.terrain.terrain_type = "random_pyramid"
+        cfg.terrain.terrain_length = 5.0
+        cfg.terrain.terrain_width = 1.6
+        cfg.terrain.terrain_ratio_x = 0.5
+        cfg.terrain.terrain_ratio_y = 1.0
+        cfg.terrain.ceiling_height = 0.5
+        cfg.terrain.start_loc = 0.4
+        cfg.env.episode_length_s = 10.0
+        cfg.commands.sampling_based_planning = False
     elif args.terrain == "multi_path":
         cfg.terrain.mesh_type = "trimesh"
         cfg.terrain.terrain_type = "multi_path"
@@ -158,7 +171,108 @@ def build_cfg(args):
 
     cfg.normalization.friction_range = [0, 1]
     cfg.normalization.clip_actions = 10.0
+
+    if args.strategy == "goal":
+        _apply_goal_recipe(cfg)
     return cfg
+
+
+def _apply_goal_recipe(cfg):
+    """The reference's published reached=0.76 recipe (run-20230904_112307
+    config.yaml): TrajectoryTrackingRewards (exploration + stalling +
+    reach_goal) under a plain reward sum, valid_goal single-waypoint
+    trajectories, and the fix-target curriculum growing the goal distance
+    0.6 m -> 4.0 m at 80% reach rate over a 4000-episode window.
+
+    Applied LAST so it overrides the generic strategy/DR wiring above.
+    Known divergence: randomize_rigids_after_start (mid-episode re-rolls) is
+    not applied (our DR re-rolls happen at reset).
+    """
+    cfg.rewards.reward_container_name = "TrajectoryTrackingRewards"
+    for name in ["base_height", "orientation", "ang_vel_xy", "large_vel",
+                 "e2e", "exploration_lin", "exploration_yaw", "reaching_z",
+                 "reaching_roll", "reaching_pitch"]:
+        cfg.reward_scales.set(name, 0.0)
+    cfg.reward_scales.set("torques", -2e-5)
+    cfg.reward_scales.set("dof_acc", -5e-7)
+    cfg.reward_scales.set("collision", -1.0)
+    cfg.reward_scales.set("action_rate", -0.01)
+    cfg.reward_scales.set("dof_pos_limits", -20.0)
+    cfg.reward_scales.set("exploration", 1.0)
+    cfg.reward_scales.set("stalling", 1.0)
+    cfg.reward_scales.set("reach_goal", 200.0)
+    cfg.rewards.only_positive_rewards = False
+    cfg.rewards.only_positive_rewards_ji22_style = False
+    cfg.rewards.target_lin_vel = 0.25
+    cfg.rewards.lin_reaching_criterion = 0.01
+    cfg.rewards.tracking_sigma_lin = 0.05
+    cfg.rewards.target_ang_vel = np.pi / 2
+    cfg.rewards.ang_reaching_criterion = np.pi / 20
+    cfg.rewards.tracking_sigma_ang = 0.5
+    cfg.rewards.T_reach = 200
+    cfg.rewards.small_vel_threshold = 0.05
+    cfg.rewards.large_dist_threshold = 0.5
+    cfg.rewards.exploration_steps = 1_000_000
+    cfg.rewards.base_height_target = 0.34
+    cfg.rewards.use_terminal_body_height = False
+
+    cfg.env.episode_length_s = 10.0
+    cfg.env.terminate_end_of_trajectory = True
+    cfg.env.camera_zero = False
+
+    cfg.commands.traj_function = "valid_goal"
+    cfg.commands.traj_length = 1
+    cfg.commands.num_interpolation = 1
+    cfg.commands.switch_upon_reach = True
+    cfg.commands.switch_dist = 0.25
+    cfg.commands.x_range = 0.4
+    cfg.commands.y_range = 0.0
+    cfg.commands.base_z = 0.34
+    cfg.commands.sampling_based_planning = False
+
+    ct = cfg.curriculum_thresholds
+    ct.cl_fix_target = True
+    ct.cl_start_target_dist = 0.6
+    ct.cl_goal_target_dist = 4.0
+    ct.cl_switch_delta = 0.2
+    ct.cl_switch_threshold = 0.8
+
+    cfg.control.control_type = "P"
+    cfg.control.stiffness = 20.0
+    cfg.control.damping = 0.5
+    cfg.control.action_scale = 0.25
+    cfg.control.hip_scale_reduction = 0.5
+
+    dr = cfg.domain_rand
+    dr.randomize_friction = True
+    dr.friction_range = [0.05, 4.5]
+    dr.randomize_restitution = True
+    dr.restitution_range = [0.0, 1.0]
+    dr.randomize_base_mass = True
+    dr.added_mass_range = [-1.0, 3.0]
+    dr.randomize_com_displacement = True
+    dr.com_displacement_range = [-0.1, 0.1]
+    dr.randomize_motor_strength = True
+    dr.motor_strength_range = [0.9, 1.1]
+    dr.randomize_motor_offset = True
+    dr.motor_offset_range = [-0.02, 0.02]
+    dr.randomize_gravity = False
+    dr.randomize_Kp_factor = False
+    dr.randomize_Kd_factor = False
+    dr.randomize_lag_timesteps = True
+    dr.lag_timesteps = 6
+    dr.push_robots = False
+    # privileged obs: friction + restitution + payload + 3-dim COM = 6 dims
+    # (matches the published run's num_privileged_obs = 6)
+    cfg.env.priv_observe_friction = True
+    cfg.env.priv_observe_restitution = True
+    cfg.env.priv_observe_base_mass = True
+    cfg.env.priv_observe_com_displacement = True
+    cfg.env.priv_observe_motor_strength = False
+    cfg.env.priv_observe_motor_offset = False
+    cfg.env.priv_observe_gravity = False
+    cfg.normalization.friction_range = [0.05, 4.5]
+    cfg.normalization.clip_actions = 100.0
 
 
 def main(args):
@@ -194,7 +308,8 @@ def main(args):
     ppo_args = PPOArgs(learning_rate=args.learning_rate, gamma=args.gamma,
                        num_steps_per_env=args.num_steps_per_env)
     runner_args = RunnerArgs(num_steps_per_env=args.num_steps_per_env,
-                             resume=args.resume)
+                             resume=args.resume,
+                             save_video_interval=args.save_video_interval)
     if args.wandb:
         import wandb
         wandb.init(project="legged_tracking_tpu", config=vars(args),
@@ -215,7 +330,10 @@ def parse_args(argv=None):
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--no_wandb", action="store_true")  # explicit for clarity
     p.add_argument("--resume", type=str, default="")
-    p.add_argument("--strategy", default="vel", choices=["e2e", "pms", "vel"])
+    p.add_argument("--strategy", default="vel", choices=["e2e", "pms", "vel", "goal"],
+                   help="'goal' = the published run-20230904 recipe "
+                        "(TrajectoryTrackingRewards + valid_goal + fix-target "
+                        "curriculum); pair with --terrain random_pyramid")
     p.add_argument("--old_ppo", action="store_true")
     p.add_argument("--cnn", action="store_true")
     p.add_argument("--gru", action="store_true")
@@ -239,13 +357,16 @@ def parse_args(argv=None):
     p.add_argument("--pd_control", action="store_true")
     p.add_argument("--terminal_body_height", type=float, default=0.0)
     p.add_argument("--terrain", default="single_path",
-                   choices=["single_path", "multi_path", "plane"])
+                   choices=["single_path", "multi_path", "plane", "random_pyramid"])
     p.add_argument("--num_envs", type=int, default=1024)
     p.add_argument("--num_eval_envs", type=int, default=0,
                    help="trailing held-out envs driven by the deterministic "
                         "policy, excluded from PPO updates")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--save_video_interval", type=int, default=0,
+                   help="render an env0 training video every N iterations "
+                        "(reference RunnerArgs.save_video_interval)")
     p.add_argument("--terrain_rows", type=int, default=32)
     p.add_argument("--terrain_cols", type=int, default=32)
     p.add_argument("--tunnel_width", type=float, default=2.0)

@@ -34,6 +34,8 @@ def test_train_iteration():
     p0 = jax.tree.leaves(ts.params)[0].copy()
     ts2, env_state2, obs2, metrics = alg.train_iteration_jit(
         ts, env_state, obs, jax.random.key(2))
+    video = metrics.pop("video")
+    assert video["base_pos"].shape == (8, 3)  # (T, xyz) env0 frames
     for k, v in metrics.items():
         assert bool(jnp.all(jnp.isfinite(v))), k
     # params actually moved
@@ -70,6 +72,7 @@ def test_eval_env_split():
     ts2, _, _, metrics = alg.train_iteration_jit(ts, env_state, obs,
                                                  jax.random.key(4))
     assert "eval_reached_mean" in metrics and "eval_episode_sums_mean" in metrics
+    metrics.pop("video")
     for k, v in metrics.items():
         assert bool(jnp.all(jnp.isfinite(v))), k
     assert not np.allclose(p0, np.asarray(jax.tree.leaves(ts2.params)[0]))
