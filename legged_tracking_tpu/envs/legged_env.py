@@ -225,6 +225,23 @@ class LeggedEnv:
             jax.random.uniform(jax.random.fold_in(k, 1), (), minval=-t.y_init_range, maxval=t.y_init_range) + t.y_init_offset,
             0.0]))(self._fold(keys, 11))
         base_pos = self.terrain.env_origin + init_pos + off
+        if not self.terrain.is_plane:
+            # spawn on TOP of the local floor (e.g. the 0.5 m plateau border
+            # of the pyramid tunnels).  The reference spawns at absolute
+            # z=0.34 intersecting the raised-floor trimesh and lets PhysX's
+            # capped depenetration (max_depenetration_velocity=1.0,
+            # config :368) pop the robot onto the surface; our penalty
+            # contacts would instead launch it, so we add the floor height
+            # analytically — same steady state, no impulse.
+            tiles = self.terrain.tiles          # (n_tiles, 2, h, w)
+            th, tw = tiles.shape[2], tiles.shape[3]
+            rel = (base_pos[:, :2] - self.terrain.env_terrain_origin[:, :2]) \
+                / self.terrain.horizontal_scale
+            xp = jnp.clip(rel[:, 0].astype(jnp.int32), 0, th - 1)
+            yp = jnp.clip(rel[:, 1].astype(jnp.int32), 0, tw - 1)
+            flat_floor = tiles[:, 1].reshape(-1)
+            floor_h = flat_floor[self.terrain.env_tile * (th * tw) + xp * tw + yp]
+            base_pos = base_pos.at[:, 2].add(floor_h)
 
         yaw = jax.vmap(lambda k: jax.random.uniform(
             k, (), minval=-t.yaw_init_range, maxval=t.yaw_init_range))(self._fold(keys, 12))

@@ -1,1 +1,1 @@
-from .checkpoint import export_policy_npz, restore_checkpoint, save_checkpoint  # noqa: F401
+from .checkpoint import export_policy_npz  # noqa: F401

@@ -89,6 +89,15 @@ class Runner:
         self.tot_timesteps = 0
         self._reached_window = deque(maxlen=4000)
         self._video_buf = []
+        # curriculum telemetry caches (reference ppo/metrics_caches.py:
+        # DistCache for between-log running means, SlotCache per curriculum
+        # category), drained into each logged record
+        from .metrics_caches import DistCache, SlotCache
+        self._dist_cache = DistCache()
+        self._slot_cache = None
+        cats = getattr(env, "category_names", None)
+        if cats:
+            self._slot_cache = SlotCache(len(cats))
         self.history = []
 
     # ------------------------------------------------------------------ io
@@ -185,6 +194,10 @@ class Runner:
                 if n_eps > 0:
                     self._reached_window.extend(
                         [float(metrics["reached_mean"])] * n_eps)
+                    # between-log running means (DistCache parity)
+                    self._dist_cache.log(
+                        reached=float(metrics["reached_mean"]),
+                        episodes_per_iter=float(n_eps))
                 if (len(self._reached_window) >= 4000 and
                         np.mean(self._reached_window) >
                         cfg.curriculum_thresholds.cl_switch_threshold):
@@ -211,11 +224,21 @@ class Runner:
                 rec.update({"it": it, "fps": fps, "timesteps": self.tot_timesteps})
                 if cfg.curriculum_thresholds.cl_fix_target:
                     rec["target_dist"] = float(self.env_state.target_dist)
-                # command-curriculum telemetry (SlotCache analogue)
+                for k2, v in self._dist_cache.get_summary().items():
+                    rec["window_" + k2] = float(v)
+                # command-curriculum telemetry: per-category SlotCache
+                # (reference SlotCache slots = curriculum distributions)
                 if getattr(self.env_state, "curriculum_weights", None) is not None:
                     w = np.asarray(self.env_state.curriculum_weights)
                     rec["curriculum_unlocked_frac"] = float((w > 0).mean())
                     rec["curriculum_weight_mean"] = float(w.mean())
+                    if self._slot_cache is not None:
+                        self._slot_cache.log(
+                            unlocked_frac=(w > 0).mean(axis=1),
+                            weight_mean=w.mean(axis=1))
+                        for k2, v in self._slot_cache.get_summary().items():
+                            for ci, cname in enumerate(self.env.category_names):
+                                rec[f"curriculum_{k2}_{cname}"] = float(v[ci])
                 self.history.append(rec)
                 if verbose:
                     print(f"it {it:5d} | fps {fps:9.0f} | rew {rec.get('rew_total', 0):8.3f} | "

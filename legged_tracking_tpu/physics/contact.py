@@ -141,10 +141,23 @@ def contact_forces(
     force = surface_force(pen_floor, n_floor)
 
     if not terrain.is_plane:
-        # ceiling: obstacle occupies z > h_ceil, outward normal ~ (dh/dx, dh/dy, -1)
-        pen_ceil = h_ceil - (p_s[:, 2] + r)
-        n_ceil = jnp.stack([grads[:, 0, 0], grads[:, 0, 1], -jnp.ones_like(pen_ceil)], axis=-1)
-        force = force + surface_force(pen_ceil, n_ceil)
+        # ceiling SLAB: obstacle occupies z in [h_ceil, ceiling_top].  A
+        # sphere inside the slab is pushed out of its NEAREST face: the lower
+        # surface (downward normal, from inside the tunnel) or the flat top
+        # (upward — the reference's raised plateau border is walkable on top
+        # of its trimesh the same way).
+        pen_bot = h_ceil - (p_s[:, 2] + r)          # <0: crossed lower face
+        pen_top = (p_s[:, 2] - r) - terrain.ceiling_top  # <0: below slab top
+        from_below = (-pen_bot) <= (-pen_top)
+        inactive = jnp.asarray(0.1, pen_bot.dtype)
+        pen_bot = jnp.where((pen_top < 0.0) & from_below, pen_bot, inactive)
+        pen_top = jnp.where((h_ceil - p_s[:, 2] - r < 0.0) & ~from_below,
+                            pen_top, inactive)
+        n_ceil = jnp.stack([grads[:, 0, 0], grads[:, 0, 1], -jnp.ones_like(pen_bot)], axis=-1)
+        force = force + surface_force(pen_bot, n_ceil)
+        n_top = jnp.stack([jnp.zeros_like(pen_top), jnp.zeros_like(pen_top),
+                           jnp.ones_like(pen_top)], axis=-1)
+        force = force + surface_force(pen_top, n_top)
 
     # accumulate per-body wrench at COM
     torque = jnp.cross(p_s - f.com_w[sb], force)

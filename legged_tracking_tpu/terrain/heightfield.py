@@ -28,6 +28,11 @@ class TerrainArrays(NamedTuple):
     env_terrain_origin: jnp.ndarray  # (N, 3) tile lower-corner origin (world)
     horizontal_scale: float       # static
     is_plane: bool                # static: plane mode (flat floor, no ceiling)
+    # static: structural top of the ceiling layer.  The ceiling is a SLAB
+    # occupying z in [h_ceil(x,y), ceiling_top]: bodies inside the tunnel hit
+    # its lower surface, bodies above it stand on its flat top (the
+    # reference's trimesh plateau border is walkable the same way).
+    ceiling_top: float = 1e3
 
 
 def plane_terrain(num_envs: int, env_spacing: float = 3.0, ceiling: float = 1e3) -> TerrainArrays:

@@ -258,6 +258,7 @@ def build_tunnel_terrain(tcfg, num_envs: int, seed: int = 0) -> TerrainArrays:
         env_terrain_origin=jnp.asarray(env_terrain_origin),
         horizontal_scale=hs,
         is_plane=False,
+        ceiling_top=float(tcfg.ceiling_height),
     )
 
 
