@@ -72,3 +72,44 @@ class rc_command_lcmt(LCMType):
         ("right_lower_left_switch", "int16_t", ()),
         ("right_lower_right_switch", "int16_t", ()),
     ]
+
+
+class _RawBlobLCMType:
+    """Fixed-size raw byte-blob message (the reference's camera bindings are
+    hand-edited lcm-gen output writing ``data`` bytes verbatim with a frozen
+    fingerprint, go1_gym_deploy/lcm_types/camera_message_*.py)."""
+
+    SIZE = 0
+    BASE_HASH = 0
+
+    def __init__(self, data: bytes = b""):
+        self.data = data
+
+    @classmethod
+    def _fingerprint(cls) -> int:
+        h = cls.BASE_HASH & 0xFFFFFFFFFFFFFFFF
+        return (((h << 1) & 0xFFFFFFFFFFFFFFFF) + (h >> 63)) & 0xFFFFFFFFFFFFFFFF
+
+    def encode(self) -> bytes:
+        import struct
+        return struct.pack(">Q", self._fingerprint()) + bytes(self.data[: self.SIZE])
+
+    @classmethod
+    def decode(cls, data: bytes):
+        import struct
+        (fp,) = struct.unpack_from(">Q", data, 0)
+        if fp != cls._fingerprint():
+            raise ValueError(f"{cls.__name__}: fingerprint mismatch")
+        return cls(data=data[8: 8 + cls.SIZE])
+
+
+class camera_message_lcmt(_RawBlobLCMType):
+    """Raw fisheye frame: 3x200x464 uint8 (camera_message_lcmt.py:29,43)."""
+    SIZE = 278400
+    BASE_HASH = 0x1610A8A9F4D174B7
+
+
+class camera_message_rect_wide(_RawBlobLCMType):
+    """Rectified wide frame: 3x100x116 uint8 (camera_message_rect_wide.py:20,38)."""
+    SIZE = 34800
+    BASE_HASH = 0xC3E9F058530B2A8B

@@ -73,10 +73,16 @@ class StateEstimator:
         lc.subscribe("state_estimator_data", self._imu_cb)
         lc.subscribe("leg_control_data", self._legdata_cb)
         lc.subscribe("rc_command", self._rc_command_cb)
-        self.camera_images = {}
+        # 5-camera pipeline (reference :113-119): raw fisheye frames on
+        # camera{1..5}, rectified crops on rect_image_{name}
+        self.camera_names = ["front", "bottom", "left", "right", "rear"]
+        for name in self.camera_names:
+            setattr(self, f"camera_image_{name}", None)
         if use_cameras:
             for cam_id in [1, 2, 3, 4, 5]:
                 lc.subscribe(f"camera{cam_id}", self._camera_cb)
+            for name in self.camera_names:
+                lc.subscribe(f"rect_image_{name}", self._rect_camera_cb)
 
     # ---------------------------------------------------------------- reads
     def get_dof_pos(self):
@@ -189,7 +195,28 @@ class StateEstimator:
         self.right_stick = list(msg.right_stick)
 
     def _camera_cb(self, channel, data):
-        self.camera_images[channel] = data
+        """Raw fisheye decode (reference _camera_cb, :322-346): 3x200x464
+        uint8 -> (200, 464, 3) HWC image, slot keyed by the channel digit."""
+        from .lcm_types import camera_message_lcmt
+        msg = camera_message_lcmt.decode(data)
+        img = np.frombuffer(msg.data, dtype=np.uint8)
+        img = img.reshape((3, 200, 464)).transpose(1, 2, 0)
+        cam_id = int(channel[-1])
+        if 1 <= cam_id <= 5:
+            setattr(self, f"camera_image_{self.camera_names[cam_id - 1]}", img)
+        else:
+            print("Image received from camera with unknown ID#!")
+
+    def _rect_camera_cb(self, channel, data):
+        """Rectified-wide decode (reference _rect_camera_cb, :348-377):
+        3x100x116 uint8, flipped on the first two axes -> (100, 116, 3)."""
+        from .lcm_types import camera_message_rect_wide
+        msg = camera_message_rect_wide.decode(data)
+        img = np.frombuffer(msg.data, dtype=np.uint8)
+        img = np.flip(np.flip(img.reshape((3, 100, 116)), axis=0),
+                      axis=1).transpose(1, 2, 0)
+        cam_name = channel.split("_")[-1]
+        setattr(self, f"camera_image_{cam_name}", img)
 
     def spin(self):
         self.lc.spin()

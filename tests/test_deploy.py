@@ -124,3 +124,40 @@ def test_policy_runtime_matches_jax(tmp_path):
     y_jax = np.asarray(ac.apply(params, jnp.asarray(x), jnp.asarray(x),
                                 method=ActorCriticCSE.act_student))
     assert np.allclose(y_np, y_jax, atol=1e-4), np.abs(y_np - y_jax).max()
+
+
+def test_camera_decode():
+    """Synthetic 5-camera frames through the estimator's decode callbacks
+    (reference cheetah_state_estimator.py:322-377)."""
+    from legged_tracking_tpu.deploy.lcm_types import (camera_message_lcmt,
+                                                      camera_message_rect_wide)
+    from legged_tracking_tpu.deploy.state_estimator import StateEstimator
+
+    class _FakeLC:
+        def subscribe(self, ch, cb):
+            pass
+
+    se = StateEstimator(_FakeLC(), use_cameras=True)
+
+    # raw fisheye: 3x200x464, deterministic pattern
+    raw = np.arange(3 * 200 * 464, dtype=np.uint8)
+    msg = camera_message_lcmt(data=raw.tobytes())
+    se._camera_cb("camera1", msg.encode())
+    img = se.camera_image_front
+    assert img.shape == (200, 464, 3)
+    chw = raw.reshape(3, 200, 464)
+    assert np.array_equal(img, chw.transpose(1, 2, 0))
+
+    # rectified wide: 3x100x116 with the reference's double flip
+    raw2 = np.arange(3 * 100 * 116, dtype=np.uint8)
+    msg2 = camera_message_rect_wide(data=raw2.tobytes())
+    se._rect_camera_cb("rect_image_rear", msg2.encode())
+    img2 = se.camera_image_rear
+    assert img2.shape == (100, 116, 3)
+    expect = np.flip(np.flip(raw2.reshape(3, 100, 116), axis=0),
+                     axis=1).transpose(1, 2, 0)
+    assert np.array_equal(img2, expect)
+
+    # fingerprint is validated on decode
+    with pytest.raises(ValueError):
+        camera_message_rect_wide.decode(msg.encode())
