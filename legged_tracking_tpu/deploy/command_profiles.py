@@ -110,3 +110,66 @@ class ConstantAccelerationProfile(CommandProfile):
             cmd[0] = min((ts - self.zero_buf_timesteps)
                          / self.accel_timesteps, 1.0) * self.max_speed
         return cmd, False
+
+
+class PlannerGoalProfile(CommandProfile):
+    """Planner-in-the-loop goal commands (the reference's archived
+    deploy-with-planner experiments, scripts_archived_1/deploy_*): replans a
+    waypoint path to a world-frame goal over a scanned elevation map with the
+    sampling-based planner (utils/planner.plan) every ``replan_steps``, and
+    feeds the next waypoint (relative, yaw-frame) to the policy like the
+    other goal profiles.
+
+    elevation_map: (2, nx, ny) [ceiling, floor] meters, map-local;
+    map_origin: world xy of the map's (0, 0) pixel corner.
+    """
+
+    def __init__(self, dt, se, elevation_map, goal_xy, horizontal_scale=0.05,
+                 map_origin=(0.0, 0.0), z_nominal=0.27, switch_dist=0.3,
+                 replan_steps=100, seed=0):
+        super().__init__(dt)
+        self.se = se
+        self.emap = np.asarray(elevation_map)
+        self.hs = horizontal_scale
+        self.map_origin = np.asarray(map_origin, dtype=np.float64)
+        self.goal = np.asarray(goal_xy, dtype=np.float64)
+        self.z_nominal = z_nominal
+        self.switch_dist = switch_dist
+        self.replan_steps = max(int(replan_steps), 1)
+        self.seed = seed
+        self.path = None      # (L, 4) map-local [x, y, z, yaw]
+        self.idx = 0
+        self._steps = 0
+
+    def _replan(self):
+        from ..utils.planner import plan
+        xy, yaw = self.se.get_xy_yaw()
+        start = np.array([xy[0] - self.map_origin[0],
+                          xy[1] - self.map_origin[1], self.z_nominal, yaw])
+        goal = np.array([self.goal[0] - self.map_origin[0],
+                         self.goal[1] - self.map_origin[1],
+                         self.z_nominal, 0.0])
+        self.path = plan(self.emap, start, goal, self.hs, seed=self.seed)
+        self.idx = 1 if self.path is not None and len(self.path) > 1 else 0
+
+    def get_command(self, t):
+        if self._steps % self.replan_steps == 0:
+            self._replan()
+        self._steps += 1
+        xy, yaw = self.se.get_xy_yaw()
+        if self.path is None:            # planner found nothing: head straight
+            target = self.goal
+        else:
+            wp = self.path[min(self.idx, len(self.path) - 1)]
+            target = wp[:2] + self.map_origin
+            if (np.linalg.norm(target - xy) < self.switch_dist
+                    and self.idx < len(self.path) - 1):
+                self.idx += 1
+                wp = self.path[self.idx]
+                target = wp[:2] + self.map_origin
+        rel = target - xy
+        c, s = np.cos(-yaw), np.sin(-yaw)
+        cmd = np.zeros(15)
+        cmd[0] = c * rel[0] - s * rel[1]
+        cmd[1] = s * rel[0] + c * rel[1]
+        return cmd, False

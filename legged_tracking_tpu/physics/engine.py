@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..terrain.heightfield import TerrainArrays
 from . import contact as _contact
-from . import dynamics
+from . import dynamics, kinematics, sparse
 from .model import Go1Model
 
 
@@ -79,23 +79,31 @@ def _control_step_body(
     contact_damping, joint_limit_stiffness, joint_limit_damping,
     report_acc, c, tau,
 ):
-    # Mass matrix inverse + contact apparent masses are computed ONCE per
-    # control step and reused across the decimated substeps: they vary by <1%
-    # over 20 ms and are the two most expensive pieces of a substep on TPU
-    # (unrolled 18x18 inversion; 48x(3x18 @ 18x18) blocks per env).  The
-    # per-substep quantities (FK, Jacobians, velocities, contact forces,
+    # The arrow-structure factorization + contact apparent masses are computed
+    # ONCE per control step and reused across the decimated substeps: they
+    # vary by <1% over 20 ms and are the most expensive pieces of a substep
+    # (see physics/sparse.py — Schur complement on the base replaces the
+    # dense 18x18 inversion; apparent masses use the block inverse).  The
+    # per-substep quantities (FK, velocities, world inertias, contact forces,
     # torques, bias) stay exact.
-    bs0 = dynamics.body_state(model, state.base_pos, state.base_quat, state.qj,
-                              state.v, params.com_offset)
-    mm0 = dynamics.mass_matrix(model, bs0, params.payload, params.com_offset, state.base_pos)
-    W0 = _contact.apparent_masses(model, bs0, mm0)
+    f0 = kinematics.fk(model, state.base_pos, state.base_quat, state.qj,
+                       params.com_offset)
+    bs0 = sparse.body_velocities(model, f0, state.v)
+    fac0 = sparse.factorize(model, f0, params.payload)
+    W0 = sparse.apparent_masses(model, f0, fac0)
 
     for k in range(decimation):  # static unroll — fuses into one XLA computation
-        bs = bs0 if k == 0 else dynamics.body_state(
-            model, state.base_pos, state.base_quat, state.qj, state.v,
-            params.com_offset)
-        mm = mm0 if k == 0 else dynamics.refresh_mass_matrix(
-            model, mm0, bs, params.com_offset, state.base_pos)
+        if k == 0:
+            bs, fac = bs0, fac0
+        else:
+            f = kinematics.fk(model, state.base_pos, state.base_quat,
+                              state.qj, params.com_offset)
+            bs = sparse.body_velocities(model, f, state.v)
+            # refresh the configuration-dependent world inertias (bias term)
+            # while the ~20 ms-stale factorization solves (dense parity:
+            # dynamics.refresh_mass_matrix kept M/Minv stale the same way)
+            fac = fac0._replace(
+                Iw=dynamics._world_inertia(f.R, model.inertia))
         tau, torque_carry = torque_fn(state.qj, state.v[6:], torque_carry)
         c = _contact.contact_forces(
             model, terrain, patch0, env_terrain_origin, bs, W0,
@@ -105,9 +113,9 @@ def _control_step_body(
         tau_total = tau + _contact.joint_limit_torque(
             model, state.qj, state.v[6:], joint_limit_stiffness, joint_limit_damping
         )
-        qdd = dynamics.forward_dynamics(
+        qdd = sparse.forward_dynamics(
             model, state.base_pos, state.base_quat, state.qj, state.v,
-            tau_total, c.f_ext, params.gravity, bs, mm, params.com_offset,
+            tau_total, c.f_ext, params.gravity, bs, fac, params.com_offset,
         )
         bp, bq, qj, v = dynamics.integrate(
             state.base_pos, state.base_quat, state.qj, state.v, qdd, sim_dt

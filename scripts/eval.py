@@ -36,9 +36,13 @@ def load_env(logdir, num_envs=16, dr_profile=None):
         cfg = DR_PROFILES[dr_profile](cfg)
     # the eval terrain grid wins over any profile's row/col override (our
     # terrain builder tiles envs over the grid; teleport/border knobs from
-    # base_set don't apply to the tunnel tasks)
-    cfg.terrain.num_rows = 4
-    cfg.terrain.num_cols = 4
+    # base_set don't apply to the tunnel tasks).  Grid adapts so the env
+    # count stays divisible by the tile count (16 envs -> reference's 4x4).
+    g = 4
+    while g > 1 and num_envs % (g * g):
+        g -= 1
+    cfg.terrain.num_rows = g
+    cfg.terrain.num_cols = g
     cfg.terrain.teleport_robots = False
     cfg.parse()
     from legged_tracking_tpu.envs import LeggedEnv

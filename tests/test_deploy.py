@@ -161,3 +161,46 @@ def test_camera_decode():
     # fingerprint is validated on decode
     with pytest.raises(ValueError):
         camera_message_rect_wide.decode(msg.encode())
+
+
+def test_planner_goal_profile():
+    """Planner-in-the-loop deploy profile: replans around an obstacle on a
+    synthetic scanned elevation map and emits body-frame goal commands."""
+    from legged_tracking_tpu.deploy.command_profiles import PlannerGoalProfile
+
+    # 4 m x 2 m map: flat floor, high ceiling, with a wall blocking the
+    # centre except a gap at low y
+    hs = 0.05
+    nx, ny = 80, 40
+    emap = np.zeros((2, nx, ny), dtype=np.float32)
+    emap[0] = 1.0                       # ceiling opening 1 m everywhere
+    emap[1, 38:42, 12:] = 1.0           # wall at x~2m, gap at y<0.6
+    emap[0, 38:42, 12:] = 1.0
+
+    class _SE:
+        xy = np.array([0.4, 1.0])
+        yaw = 0.0
+
+        def get_xy_yaw(self):
+            return self.xy.copy(), self.yaw
+
+    se = _SE()
+    prof = PlannerGoalProfile(0.02, se, emap, goal_xy=(3.6, 1.0),
+                              horizontal_scale=hs, replan_steps=50, seed=3)
+    cmd, reset = prof.get_command(0)
+    assert prof.path is not None, "planner failed on an open map"
+    assert not reset
+    # follow the waypoints with a fake robot: command should never point
+    # through the wall band when the robot is in front of it
+    for step in range(1, 400):
+        cmd, _ = prof.get_command(step)
+        step_vec = cmd[:2]
+        n = np.linalg.norm(step_vec)
+        if n > 1e-6:
+            se.xy = se.xy + step_vec / n * min(0.05, n)
+        if np.linalg.norm(se.xy - np.array([3.6, 1.0])) < 0.2:
+            break
+    assert np.linalg.norm(se.xy - np.array([3.6, 1.0])) < 0.35, se.xy
+    # the traversal must have detoured through the gap (low y) around x=2m
+    # (we can't cross the wall): check final position reached implies a path
+    # existed that avoids emap[1] high cells
