@@ -59,3 +59,42 @@ def test_variant_trains(variant):
     a = alg.act_inference(ts.params, obs["obs"], obs["obs_history"])
     assert a.shape == (4, 12)
     assert bool(jnp.all(jnp.isfinite(a)))
+
+
+@pytest.mark.parametrize("variant", ["cnn_gru", "rma", "mlp"])
+def test_eval_reconstructs_family_from_checkpoint(variant, tmp_path):
+    """scripts/eval.load_policy must rebuild the right actor-critic family
+    from a checkpoint's param tree alone (reference eval.py:38-66)."""
+    import os
+    import pickle
+    import sys
+
+    env = make_env()
+    if variant == "rma":
+        ac = ActorCriticRMA(num_obs=env.num_obs,
+                            num_privileged_obs=env.num_privileged_obs,
+                            num_obs_history=env.num_obs_history,
+                            num_actions=env.num_actions, args=ACRmaArgs())
+    elif variant == "cnn_gru":
+        ac = ActorCriticCNN(num_obs=env.num_obs,
+                            num_privileged_obs=env.num_privileged_obs,
+                            num_obs_history=env.num_obs_history,
+                            num_actions=env.num_actions,
+                            args=ACCnnArgs(use_cnn=True, use_gru=True,
+                                           height_map_shape=(2, 10, 11)))
+    else:
+        ac = None  # default CSE MLP
+    alg = PPO(env, args=PPOArgs(), ac=ac)
+    ts = alg.init(jax.random.key(0))
+    params_np = jax.tree.map(np.asarray, ts.params)
+    with open(os.path.join(tmp_path, "ac_weights_last.pkl"), "wb") as f:
+        pickle.dump({"params": params_np}, f)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from eval import load_policy
+    alg2, params2, policy = load_policy(env, str(tmp_path))
+    assert type(alg2.ac).__name__ == type(alg.ac).__name__
+    obs = jax.jit(env.observe)(env.reset_fn(jax.random.key(1), False))
+    a = policy(obs["obs"], obs["obs_history"])
+    ref = alg.act_inference(ts.params, obs["obs"], obs["obs_history"])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(ref), atol=1e-5)
