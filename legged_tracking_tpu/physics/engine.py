@@ -86,24 +86,25 @@ def _control_step_body(
     # dense 18x18 inversion; apparent masses use the block inverse).  The
     # per-substep quantities (FK, velocities, world inertias, contact forces,
     # torques, bias) stay exact.
-    f0 = kinematics.fk(model, state.base_pos, state.base_quat, state.qj,
-                       params.com_offset)
-    bs0 = sparse.body_velocities(model, f0, state.v)
-    fac0 = sparse.factorize(model, f0, params.payload)
-    W0 = sparse.apparent_masses(model, f0, fac0)
+    fac0 = None
+    W0 = None
 
     for k in range(decimation):  # static unroll — fuses into one XLA computation
+        # ONE fused primal+tangent pass per substep: FK + body velocities +
+        # velocity-product accelerations share their primal computation
+        bs, alpha_vp, acc_vp = sparse.velocity_jvp(
+            model, state.base_pos, state.base_quat, state.qj, state.v,
+            params.com_offset)
         if k == 0:
-            bs, fac = bs0, fac0
+            fac0 = sparse.factorize(model, bs.fk, params.payload)
+            W0 = sparse.apparent_masses(model, bs.fk, fac0)
+            fac = fac0
         else:
-            f = kinematics.fk(model, state.base_pos, state.base_quat,
-                              state.qj, params.com_offset)
-            bs = sparse.body_velocities(model, f, state.v)
             # refresh the configuration-dependent world inertias (bias term)
             # while the ~20 ms-stale factorization solves (dense parity:
             # dynamics.refresh_mass_matrix kept M/Minv stale the same way)
             fac = fac0._replace(
-                Iw=dynamics._world_inertia(f.R, model.inertia))
+                Iw=dynamics._world_inertia(bs.fk.R, model.inertia))
         tau, torque_carry = torque_fn(state.qj, state.v[6:], torque_carry)
         c = _contact.contact_forces(
             model, terrain, patch0, env_terrain_origin, bs, W0,
@@ -116,6 +117,7 @@ def _control_step_body(
         qdd = sparse.forward_dynamics(
             model, state.base_pos, state.base_quat, state.qj, state.v,
             tau_total, c.f_ext, params.gravity, bs, fac, params.com_offset,
+            vp=(alpha_vp, acc_vp),
         )
         bp, bq, qj, v = dynamics.integrate(
             state.base_pos, state.base_quat, state.qj, state.v, qdd, sim_dt

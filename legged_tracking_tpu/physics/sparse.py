@@ -229,19 +229,12 @@ def project(g: LegGeom, n_i, f_i) -> jnp.ndarray:
     return jnp.concatenate([Q_u, Q_w, Q_q.reshape(12)])
 
 
-def forward_dynamics(
-    model: Go1Model,
-    base_pos, base_quat, qj, v,
-    tau_j, f_ext, gravity,
-    bs: BodyState,
-    fac: Factorization,
-    com_offset=None,
-) -> jnp.ndarray:
-    """Generalized accelerations (NV,) — sparse equivalent of
-    ``dynamics.forward_dynamics``."""
-    g = leg_geometry(bs.fk)
-
-    # velocity-product accelerations: jvp through the SPARSE velocity map
+def velocity_jvp(model: Go1Model, base_pos, base_quat, qj, v,
+                 com_offset=None):
+    """ONE fused primal+tangent pass: FK, body velocities, and the
+    velocity-product accelerations (J̇v) via ``jax.jvp`` through the sparse
+    velocity map.  The primal outputs ARE the substep's FK/velocities, so the
+    engine never runs FK twice per substep."""
     qdot_pos = v[:3]
     qdot_quat = quat_derivative(base_quat, v[3:6])
     qdot_j = v[6:]
@@ -249,10 +242,33 @@ def forward_dynamics(
     def vel_map(bp, bq, qq):
         f = kinematics.fk(model, bp, bq, qq, com_offset)
         st = body_velocities(model, f, v)
-        return st.omega, st.u
+        return f, st.omega, st.u
 
-    (_, _), (alpha_vp, acc_vp) = jax.jvp(
+    (f, omega, u), (_, alpha_vp, acc_vp) = jax.jvp(
         vel_map, (base_pos, base_quat, qj), (qdot_pos, qdot_quat, qdot_j))
+    bs = BodyState(fk=f, J=None, omega=omega, u=u)
+    return bs, alpha_vp, acc_vp
+
+
+def forward_dynamics(
+    model: Go1Model,
+    base_pos, base_quat, qj, v,
+    tau_j, f_ext, gravity,
+    bs: BodyState,
+    fac: Factorization,
+    com_offset=None,
+    vp=None,
+) -> jnp.ndarray:
+    """Generalized accelerations (NV,) — sparse equivalent of
+    ``dynamics.forward_dynamics``.  ``vp``: optional precomputed
+    (alpha_vp, acc_vp) from :func:`velocity_jvp`."""
+    g = leg_geometry(bs.fk)
+
+    if vp is None:
+        _, alpha_vp, acc_vp = velocity_jvp(model, base_pos, base_quat, qj, v,
+                                           com_offset)
+    else:
+        alpha_vp, acc_vp = vp
 
     omega = bs.omega
     n_bias = _mat3_vec(fac.Iw, alpha_vp) + jnp.cross(
