@@ -47,6 +47,11 @@ class PPOArgs:
     gamma: float = 0.99
     lam: float = 0.95
     desired_kl: float = 0.01
+    # clamp window of the adaptive-KL learning rate (reference hard-codes
+    # [1e-5, 1e-2], ppo.py:113-120); a lower ceiling damps the
+    # reached-rate oscillation seen on long runs (TRAINING_NOTES.md)
+    min_adaptive_lr: float = 1e-5
+    max_adaptive_lr: float = 1e-2
     max_grad_norm: float = 1.0
     num_steps_per_env: int = 24
     # eval split: trailing cfg.env.num_eval_envs envs act with the
@@ -255,9 +260,10 @@ class PPO:
 
         # adaptive-KL LR (ppo.py:110-124), applied to THIS minibatch's step
         if a.desired_kl is not None and a.schedule == "adaptive":
-            lr = jnp.where(kl > a.desired_kl * 2.0, jnp.maximum(1e-5, lr / 1.5), lr)
+            lr = jnp.where(kl > a.desired_kl * 2.0,
+                           jnp.maximum(a.min_adaptive_lr, lr / 1.5), lr)
             lr = jnp.where((kl < a.desired_kl / 2.0) & (kl > 0.0),
-                           jnp.minimum(1e-2, lr * 1.5), lr)
+                           jnp.minimum(a.max_adaptive_lr, lr * 1.5), lr)
         inject = opt_state[1]._replace(
             hyperparams={**opt_state[1].hyperparams, "learning_rate": lr})
         updates, opt_state_new = self.tx.update(grads, (opt_state[0], inject), params)

@@ -306,7 +306,8 @@ def main(args):
                            normalize_obs=args.normalize_obs))
 
     ppo_args = PPOArgs(learning_rate=args.learning_rate, gamma=args.gamma,
-                       num_steps_per_env=args.num_steps_per_env)
+                       num_steps_per_env=args.num_steps_per_env,
+                       max_adaptive_lr=args.max_adaptive_lr)
     runner_args = RunnerArgs(num_steps_per_env=args.num_steps_per_env,
                              resume=args.resume,
                              save_video_interval=args.save_video_interval)
@@ -342,6 +343,8 @@ def parse_args(argv=None):
     p.add_argument("--iterations", type=int, default=10000)
 
     p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--max_adaptive_lr", type=float, default=1e-2,
+                   help="ceiling of the adaptive-KL learning rate")
     p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--exploration_steps", type=int, default=2500)
     p.add_argument("--num_steps_per_env", type=int, default=24)
