@@ -375,6 +375,9 @@ class PPO:
 
         metrics["video"] = roll_metrics["video"]
         metrics["mean_reward_per_step"] = jnp.mean(traj_train.rewards)
+        # policy-std telemetry (mean_noise_std, reference ppo_cse
+        # __init__.py:307): diagnoses entropy-driven std inflation
+        metrics["action_std_mean"] = jnp.mean(traj.sigma[-1])
         ep_metrics(slice(0, self.n_train))
         if self.n_eval:
             ep_metrics(slice(self.n_train, None), prefix="eval_")

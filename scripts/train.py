@@ -307,7 +307,8 @@ def main(args):
 
     ppo_args = PPOArgs(learning_rate=args.learning_rate, gamma=args.gamma,
                        num_steps_per_env=args.num_steps_per_env,
-                       max_adaptive_lr=args.max_adaptive_lr)
+                       max_adaptive_lr=args.max_adaptive_lr,
+                       entropy_coef=args.entropy_coef)
     runner_args = RunnerArgs(num_steps_per_env=args.num_steps_per_env,
                              resume=args.resume,
                              save_video_interval=args.save_video_interval)
@@ -319,6 +320,16 @@ def main(args):
                     ac_args=ACArgs(normalize_obs=args.normalize_obs),
                     logdir=args.logdir, log_wandb=args.wandb,
                     seed=args.seed, ac=ac, num_devices=args.num_devices)
+    if args.reset_action_std is not None:
+        # deflate an entropy-inflated policy std on resume (the policy MEAN
+        # is unaffected; Adam moments for std keep resuming normally)
+        import jax
+        import jax.numpy as jnp
+        params = jax.tree_util.tree_map_with_path(
+            lambda p, l: jnp.full_like(l, args.reset_action_std)
+            if any(str(getattr(k, "key", k)) == "std" for k in p) else l,
+            runner.train_state.params)
+        runner.train_state = runner.train_state._replace(params=params)
     history = runner.learn(num_learning_iterations=args.iterations,
                            profile_dir=args.profile_dir)
     return history
@@ -345,6 +356,12 @@ def parse_args(argv=None):
     p.add_argument("--learning_rate", type=float, default=1e-3)
     p.add_argument("--max_adaptive_lr", type=float, default=1e-2,
                    help="ceiling of the adaptive-KL learning rate")
+    p.add_argument("--reset_action_std", type=float, default=None,
+                   help="on resume, reset the policy std parameter to this "
+                        "value (deflates entropy-driven std inflation)")
+    p.add_argument("--entropy_coef", type=float, default=0.01,
+                   help="entropy bonus coefficient (reference default 0.01; "
+                        "lower damps late-run policy-std inflation)")
     p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--exploration_steps", type=int, default=2500)
     p.add_argument("--num_steps_per_env", type=int, default=24)
