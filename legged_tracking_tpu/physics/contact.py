@@ -23,6 +23,10 @@ from ..terrain.heightfield import (TerrainArrays, sample_height_bilinear,
 from .dynamics import BodyState
 from .model import Go1Model
 
+# PhysX bounce_threshold_velocity (reference sim cfg :369): separations
+# slower than this are treated as inelastic regardless of restitution
+BOUNCE_THRESHOLD_VELOCITY = 0.5
+
 
 class ContactOut(NamedTuple):
     f_ext: jnp.ndarray           # (nb, 6) world wrench [torque; force] at body COM
@@ -116,9 +120,16 @@ def contact_forces(
         # spring + damping, damping impulse-capped (implicit in vn); the
         # spring is capped to a max depenetration velocity of 1 m/s per
         # substep, mirroring PhysX max_depenetration_velocity (reference
-        # config :370) — bounds energy injection under deep penetration
+        # config :370) — bounds energy injection under deep penetration.
+        # Restitution only applies above PhysX's bounce_threshold_velocity
+        # (0.5 m/s, reference config :369): slow separations stay fully
+        # damped, otherwise a body squeezed between the pit floor and the
+        # ceiling slab at restitution~1 PUMPS the spring-cap energy every
+        # micro-bounce and ejects at the velocity clamp (observed on
+        # random_pyramid: z -> 24 m, |v| -> 100 m/s).
+        bouncing = vn > BOUNCE_THRESHOLD_VELOCITY
         damp = jnp.minimum(
-            damping * jnp.where(vn > 0.0, 1.0 - restitution, 1.0),
+            damping * jnp.where(bouncing, 1.0 - restitution, 1.0),
             m_eff_n / dt,
         )
         f_spring = jnp.minimum(-stiffness * pen, m_eff_n * max_depenetration_velocity / dt)

@@ -126,9 +126,25 @@ def _control_step_body(
         # base-velocity safety ceiling (Isaac's max_linear/angular_velocity)
         qj = jnp.clip(qj, model.dof_lower, model.dof_upper)
         vj = jnp.clip(v[6:], -model.dof_vel_limit, model.dof_vel_limit)
+        # Spin safety damper: our explicit integrator pumps energy through
+        # the gyroscopic bias once the base spins faster than ~20 rad/s
+        # (PhysX's TGS solves gyroscopics implicitly, so the reference never
+        # sees this; observed as airborne robots gaining m/s-per-step with
+        # ZERO contact force after tumbling).  Locomotion never exceeds
+        # ~6 rad/s / ~5 m/s, so nominal dynamics are untouched: the damper
+        # halves the excess above the threshold each substep.
+        w, u = v[3:6], v[:3]
+        wmag = jnp.linalg.norm(w)
+        w = w * jnp.where(wmag > 10.0,
+                          (10.0 + 0.5 * (wmag - 10.0)) / jnp.maximum(wmag, 1e-6),
+                          1.0)
+        umag = jnp.linalg.norm(u)
+        u = u * jnp.where(umag > 15.0,
+                          (15.0 + 0.5 * (umag - 15.0)) / jnp.maximum(umag, 1e-6),
+                          1.0)
         v = jnp.concatenate([
-            jnp.clip(v[:3], -100.0, 100.0),
-            jnp.clip(v[3:6], -50.0, 50.0),
+            jnp.clip(u, -100.0, 100.0),
+            jnp.clip(w, -50.0, 50.0),
             vj,
         ])
         state = PhysState(base_pos=bp, base_quat=bq, qj=qj, v=v)

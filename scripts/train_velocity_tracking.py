@@ -183,7 +183,9 @@ def main(args):
           f"| rewards {env.reward_names}")
 
     ppo_args = PPOArgs(learning_rate=args.learning_rate, gamma=args.gamma,
-                       num_steps_per_env=args.num_steps_per_env)
+                       num_steps_per_env=args.num_steps_per_env,
+                       entropy_coef=args.entropy_coef,
+                       max_adaptive_lr=args.max_adaptive_lr)
     runner = Runner(env, runner_args=RunnerArgs(num_steps_per_env=args.num_steps_per_env),
                     ppo_args=ppo_args, ac_args=ACArgs(), logdir=args.logdir,
                     log_wandb=args.wandb, seed=args.seed,
@@ -215,6 +217,8 @@ def parse_args(argv=None):
     # docs/TRAINING_NOTES.md for why a larger sigma_rew_neg or an
     # only_positive warm-up helps cold starts on this engine)
     p.add_argument("--sigma_rew_neg", type=float, default=0.02)
+    p.add_argument("--entropy_coef", type=float, default=0.01)
+    p.add_argument("--max_adaptive_lr", type=float, default=1e-2)
     p.add_argument("--only_positive", action="store_true")
     return p.parse_args(argv)
 
