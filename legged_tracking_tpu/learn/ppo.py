@@ -303,14 +303,18 @@ class PPO:
                 flat(traj.actions), flat(traj.values), flat(advantages),
                 flat(returns), flat(traj.log_prob), flat(traj.mu), flat(traj.sigma))
 
-        # same permutation every epoch (rollout_storage.py:102); gather each
-        # minibatch inside the scan to avoid materializing epochs x batch
-        idx = jnp.concatenate([perm.reshape(a.num_mini_batches, mb)] * a.num_learning_epochs,
-                              axis=0)  # (epochs*num_mb, mb)
+        # same permutation every epoch (rollout_storage.py:102): gather the
+        # buffer into permuted layout ONCE, then each epoch's minibatches are
+        # contiguous slices — 1 gather of the ~200 MB buffer instead of
+        # epochs x num_mb partial gathers
+        data = jax.tree.map(lambda x: x[perm].reshape(
+            (a.num_mini_batches, mb) + x.shape[1:]), data)
 
-        def body(carry, mb_idx):
-            batch = jax.tree.map(lambda x: x[mb_idx], data)
+        def body(carry, mb_i):
+            batch = jax.tree.map(lambda x: x[mb_i], data)
             return self._minibatch_update(carry, batch)
+
+        idx = jnp.tile(jnp.arange(a.num_mini_batches), a.num_learning_epochs)
 
         carry = (train_state.params, train_state.opt_state,
                  train_state.adapt_opt_state, train_state.learning_rate)
