@@ -37,6 +37,10 @@ def main(args):
     policy = jax.jit(lambda o, h: alg.act_inference(params, o, h))
 
     st = env._reset_jit(jax.random.key(args.seed), True)
+    if args.target_dist is not None:
+        # evaluate at a specific curriculum goal distance: re-reset so the
+        # trajectories are drawn at the requested target_dist
+        st = st._replace(target_dist=jnp.asarray(args.target_dist, jnp.float32))
     obs0 = env._observe_jit(st)
 
     # ONE jitted scan — per-step host dispatch over the axon tunnel is slow
@@ -54,13 +58,19 @@ def main(args):
             return (st, nobs), stats
         (st, obs), stats = jax.lax.scan(body, (st, obs), None,
                                         length=args.steps)
-        return jnp.sum(stats, axis=0)
+        return (st, obs), jnp.sum(stats, axis=0)
 
-    n_done, n_reached, ep_len_sum = np.asarray(rollout(st, obs0))
+    (st, obs0), stats = rollout(st, obs0)
+    if args.target_dist is not None and args.steps > 501:
+        # first call was burn-in: episodes begun at the cfg-start distance
+        # have all terminated; count a fresh window at the requested distance
+        (st, obs0), stats = rollout(st, obs0)
+    n_done, n_reached, ep_len_sum = np.asarray(stats)
     reached = n_reached / max(n_done, 1)
     print({"episodes": int(n_done), "reached": round(float(reached), 4),
            "mean_ep_len": round(float(ep_len_sum / max(n_done, 1)), 1),
-           "ckpt": args.ckpt or "last"})
+           "ckpt": args.ckpt or "last",
+           "target_dist": args.target_dist or "cfg-start"})
     return reached
 
 
@@ -85,5 +95,7 @@ if __name__ == "__main__":
     p.add_argument("--num_envs", type=int, default=1024)
     p.add_argument("--steps", type=int, default=1200)
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--target_dist", type=float, default=None,
+                   help="evaluate at this curriculum goal distance")
     p.add_argument("--cpu", action="store_true")
     main(p.parse_args())

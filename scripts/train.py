@@ -185,8 +185,11 @@ def _apply_goal_recipe(cfg):
     0.6 m -> 4.0 m at 80% reach rate over a 4000-episode window.
 
     Applied LAST so it overrides the generic strategy/DR wiring above.
-    Known divergence: randomize_rigids_after_start (mid-episode re-rolls) is
-    not applied (our DR re-rolls happen at reset).
+    Known divergences: randomize_rigids_after_start (mid-episode re-rolls)
+    is not applied (our DR re-rolls happen at reset), and
+    terrain.teleport_robots is not implemented for the tunnel env — robots
+    that wander off their tile keep clamped height samples until timeout
+    (the reference wraps them back; either way the episode is lost).
     """
     cfg.rewards.reward_container_name = "TrajectoryTrackingRewards"
     for name in ["base_height", "orientation", "ang_vel_xy", "large_vel",
@@ -308,7 +311,10 @@ def main(args):
     ppo_args = PPOArgs(learning_rate=args.learning_rate, gamma=args.gamma,
                        num_steps_per_env=args.num_steps_per_env,
                        max_adaptive_lr=args.max_adaptive_lr,
-                       entropy_coef=args.entropy_coef)
+                       entropy_coef=args.entropy_coef,
+                       value_loss_coef=args.value_loss_coef,
+                       max_grad_norm=args.max_grad_norm,
+                       clip_param=args.clip_param)
     runner_args = RunnerArgs(num_steps_per_env=args.num_steps_per_env,
                              resume=args.resume,
                              save_video_interval=args.save_video_interval)
@@ -362,6 +368,9 @@ def parse_args(argv=None):
     p.add_argument("--entropy_coef", type=float, default=0.01,
                    help="entropy bonus coefficient (reference default 0.01; "
                         "lower damps late-run policy-std inflation)")
+    p.add_argument("--value_loss_coef", type=float, default=1.0)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--clip_param", type=float, default=0.2)
     p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--exploration_steps", type=int, default=2500)
     p.add_argument("--num_steps_per_env", type=int, default=24)
