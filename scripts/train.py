@@ -174,6 +174,8 @@ def build_cfg(args):
 
     if args.strategy == "goal":
         _apply_goal_recipe(cfg)
+        if args.cl_goal_target_dist is not None:
+            cfg.curriculum_thresholds.cl_goal_target_dist = args.cl_goal_target_dist
     return cfg
 
 
@@ -236,6 +238,11 @@ def _apply_goal_recipe(cfg):
     ct = cfg.curriculum_thresholds
     ct.cl_fix_target = True
     ct.cl_start_target_dist = 0.6
+    # published value 4.0 — but valid_goal targets beyond the obstacle
+    # window (> ~3.05 m from spawn) land on the sealed far-border plateau at
+    # the tile's y=0 corner (openings all zero -> argmax ties -> 0), a
+    # degenerate goal the reference's own run never reached (it stalled at
+    # its first distance).  --cl_goal_target_dist overrides.
     ct.cl_goal_target_dist = 4.0
     ct.cl_switch_delta = 0.2
     ct.cl_switch_threshold = 0.8
@@ -368,6 +375,10 @@ def parse_args(argv=None):
     p.add_argument("--entropy_coef", type=float, default=0.01,
                    help="entropy bonus coefficient (reference default 0.01; "
                         "lower damps late-run policy-std inflation)")
+    p.add_argument("--cl_goal_target_dist", type=float, default=None,
+                   help="override the fix-target curriculum cap (published "
+                        "4.0; ~3.0 keeps valid_goal targets inside the "
+                        "obstacle window)")
     p.add_argument("--value_loss_coef", type=float, default=1.0)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--clip_param", type=float, default=0.2)
