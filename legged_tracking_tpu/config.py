@@ -258,6 +258,12 @@ class CurriculumThresholdsCfg:
     cl_goal_target_dist: float = 3.6
     cl_switch_delta: float = 0.5
     cl_switch_threshold: float = 1.0
+    # beyond-reference safety: step the target BACK by cl_switch_delta when
+    # the 4000-episode reach window falls below this (0 = off).  Prevents
+    # the sparse-reward frontier collapse observed on long goal runs
+    # (docs/TRAINING_NOTES.md): when success at the current distance decays,
+    # the value signal vanishes and PPO degrades to passive standing.
+    cl_downstep_threshold: float = 0.0
     # velocity-task thresholds (fraction of max reward per term)
     tracking_lin_vel: float = 0.8
     tracking_ang_vel: float = 0.7

@@ -208,6 +208,18 @@ class Runner:
                     self.env_state = self.env_state._replace(
                         target_dist=jnp.asarray(new_dist, jnp.float32))
                     self._reached_window.clear()
+                down = getattr(cfg.curriculum_thresholds,
+                               "cl_downstep_threshold", 0.0)
+                if (down > 0.0 and len(self._reached_window) >= 4000 and
+                        np.mean(self._reached_window) < down):
+                    # ease the task before the sparse-reward signal dies
+                    new_dist = max(
+                        float(self.env_state.target_dist)
+                        - cfg.curriculum_thresholds.cl_switch_delta,
+                        cfg.curriculum_thresholds.cl_start_target_dist)
+                    self.env_state = self.env_state._replace(
+                        target_dist=jnp.asarray(new_dist, jnp.float32))
+                    self._reached_window.clear()
 
             if (it % self.runner_args.log_freq == 0) or it == num_learning_iterations - 1:
                 m = jax.tree.map(np.asarray, metrics)

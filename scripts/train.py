@@ -176,6 +176,7 @@ def build_cfg(args):
         _apply_goal_recipe(cfg)
         if args.cl_goal_target_dist is not None:
             cfg.curriculum_thresholds.cl_goal_target_dist = args.cl_goal_target_dist
+        cfg.curriculum_thresholds.cl_downstep_threshold = args.cl_downstep
     return cfg
 
 
@@ -379,6 +380,9 @@ def parse_args(argv=None):
                    help="override the fix-target curriculum cap (published "
                         "4.0; ~3.0 keeps valid_goal targets inside the "
                         "obstacle window)")
+    p.add_argument("--cl_downstep", type=float, default=0.0,
+                   help="step the goal distance BACK when the reach window "
+                        "falls below this (0 = off; beyond-reference safety)")
     p.add_argument("--value_loss_coef", type=float, default=1.0)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--clip_param", type=float, default=0.2)
