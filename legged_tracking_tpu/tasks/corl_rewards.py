@@ -112,12 +112,19 @@ def _raibert_heuristic(ctx, cfg):
     rel = ctx.foot_positions - ctx.base_pos[:, None, :]
     feet_body = qt.quat_apply_yaw_inverse(ctx.base_quat[:, None, :], rel)
 
+    # DOCUMENTED DIVERGENCE (reference corl_rewards.py:169-174): the
+    # reference pairs desired y = [+sw/2, -sw/2, +sw/2, -sw/2] with feet
+    # [FR, FL, RR, RL] (the go1 URDF body order its feet_indices follow) —
+    # but FR/RR stand at NEGATIVE body-frame y, so nominal stance carries a
+    # constant ~(2·0.2)²·4 ≈ 0.64 m² penalty that dwarfs every other term
+    # and annihilates ji22-clipped reward at sigma 0.02.  We pair signs with
+    # the feet's actual sides.
     if cfg.commands.num_commands >= 13:
         sw = ctx.commands[:, 12:13]
-        ys_nom = jnp.concatenate([sw / 2, -sw / 2, sw / 2, -sw / 2], axis=1)
+        ys_nom = jnp.concatenate([-sw / 2, sw / 2, -sw / 2, sw / 2], axis=1)
     else:
         sw = 0.3
-        ys_nom = jnp.asarray([[sw / 2, -sw / 2, sw / 2, -sw / 2]])
+        ys_nom = jnp.asarray([[-sw / 2, sw / 2, -sw / 2, sw / 2]])
     if cfg.commands.num_commands >= 14:
         sl = ctx.commands[:, 13:14]
         xs_nom = jnp.concatenate([sl / 2, sl / 2, -sl / 2, -sl / 2], axis=1)
