@@ -186,7 +186,9 @@ def main(args):
                        num_steps_per_env=args.num_steps_per_env,
                        entropy_coef=args.entropy_coef,
                        max_adaptive_lr=args.max_adaptive_lr)
-    runner = Runner(env, runner_args=RunnerArgs(num_steps_per_env=args.num_steps_per_env),
+    runner = Runner(env, runner_args=RunnerArgs(
+                        num_steps_per_env=args.num_steps_per_env,
+                        resume=args.resume),
                     ppo_args=ppo_args, ac_args=ACArgs(), logdir=args.logdir,
                     log_wandb=args.wandb, seed=args.seed,
                     num_devices=args.num_devices)
@@ -218,6 +220,7 @@ def parse_args(argv=None):
     # only_positive warm-up helps cold starts on this engine)
     p.add_argument("--sigma_rew_neg", type=float, default=0.02)
     p.add_argument("--entropy_coef", type=float, default=0.01)
+    p.add_argument("--resume", type=str, default="")
     p.add_argument("--max_adaptive_lr", type=float, default=1e-2)
     p.add_argument("--only_positive", action="store_true")
     return p.parse_args(argv)
