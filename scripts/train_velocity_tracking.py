@@ -192,6 +192,14 @@ def main(args):
                     ppo_args=ppo_args, ac_args=ACArgs(), logdir=args.logdir,
                     log_wandb=args.wandb, seed=args.seed,
                     num_devices=args.num_devices)
+    if args.reset_action_std is not None:
+        import jax
+        import jax.numpy as jnp
+        params = jax.tree_util.tree_map_with_path(
+            lambda p, l: jnp.full_like(l, args.reset_action_std)
+            if any(str(getattr(k, "key", k)) == "std" for k in p) else l,
+            runner.train_state.params)
+        runner.train_state = runner.train_state._replace(params=params)
     return runner.learn(num_learning_iterations=args.iterations,
                         profile_dir=args.profile_dir)
 
@@ -221,6 +229,7 @@ def parse_args(argv=None):
     p.add_argument("--sigma_rew_neg", type=float, default=0.02)
     p.add_argument("--entropy_coef", type=float, default=0.01)
     p.add_argument("--resume", type=str, default="")
+    p.add_argument("--reset_action_std", type=float, default=None)
     p.add_argument("--max_adaptive_lr", type=float, default=1e-2)
     p.add_argument("--only_positive", action="store_true")
     return p.parse_args(argv)
