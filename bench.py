@@ -10,6 +10,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -61,21 +62,36 @@ def main():
 
     key = jax.random.key(2)
 
-    # warmup/compile (2 iterations: the second catches any signature-driven
+    # K train iterations per device call: each dispatch over the axon tunnel
+    # costs a flat ~60 ms RPC, so per-iteration host loops understate the
+    # device rate (learn/runner.py can adopt the same batching via log_freq)
+    K = int(os.environ.get("BENCH_ITERS_PER_CALL", 5))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run_k(ts, env_state, obs, key):
+        def body(c, kk):
+            ts, env_state, obs = c
+            ts, env_state, obs, m = alg.train_iteration(ts, env_state, obs, kk)
+            return (ts, env_state, obs), m["value_loss"]
+        keys = jax.random.split(key, K)
+        (ts, env_state, obs), vl = jax.lax.scan(body, (ts, env_state, obs), keys)
+        return ts, env_state, obs, vl
+
+    # warmup/compile (2 calls: the second catches any signature-driven
     # recompile so the timed loop is pure steady state)
     for _ in range(2):
         key, k = jax.random.split(key)
-        ts, env_state, obs, metrics = alg.train_iteration_jit(ts, env_state, obs, k)
-    jax.block_until_ready(metrics["value_loss"])
+        ts, env_state, obs, vl = run_k(ts, env_state, obs, k)
+    jax.block_until_ready(vl)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         key, k = jax.random.split(key)
-        ts, env_state, obs, metrics = alg.train_iteration_jit(ts, env_state, obs, k)
-    jax.block_until_ready(metrics["value_loss"])
+        ts, env_state, obs, vl = run_k(ts, env_state, obs, k)
+    jax.block_until_ready(vl)
     dt = time.perf_counter() - t0
 
-    steps = iters * num_envs * alg.args.num_steps_per_env
+    steps = iters * K * num_envs * alg.args.num_steps_per_env
     fps = steps / dt
     baseline = 1093.8
     print(json.dumps({

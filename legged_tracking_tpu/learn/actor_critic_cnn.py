@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,6 +40,11 @@ class ACCnnArgs:
     cnn_num_embedding: int = 256
     gru_num_embedding: int = 256
     normalize_obs: bool = False
+    # stop the value gradient at the shared height-map encoder: the critic
+    # head still trains, but cannot drag the policy through the encoder it
+    # shares with the actor (resume-shock mitigation, TRAINING_NOTES.md;
+    # off by default = reference semantics)
+    critic_detach_encoder: bool = False
 
 
 class HeightMapEncoder(nn.Module):
@@ -134,6 +140,8 @@ class ActorCriticCNN(nn.Module):
 
     def evaluate(self, obs, privileged_obs, obs_history):
         pin = self.process_obs_history(obs_history)
+        if self.args.critic_detach_encoder:
+            pin = jax.lax.stop_gradient(pin)
         v = self.critic_body(jnp.concatenate([pin, privileged_obs], axis=-1))
         return v[..., 0]
 

@@ -118,6 +118,18 @@ class PPO:
         # alias identical outputs of the producing jit) and donating an aliased
         # buffer twice is an XLA error.
         self._train_iteration = jax.jit(self.train_iteration, donate_argnums=(0,))
+        # critic-only warmup (resume-shock mitigation, TRAINING_NOTES.md):
+        # value-loss-only updates restricted to the critic head so a resumed
+        # value function can re-fit the fresh env distribution before any
+        # policy gradient flows (the shared height-map encoder stays frozen).
+        # Fresh full-tree Adam + zeroed non-critic grads == exact masking
+        # (zero grad + zero moments -> zero update), leaving the resumed
+        # optimizer moments untouched for the main run.
+        self.warmup_tx = optax.chain(
+            optax.clip_by_global_norm(self.args.max_grad_norm),
+            optax.adam(self.args.learning_rate))
+        self._warmup_iteration = jax.jit(self.warmup_iteration,
+                                         donate_argnums=(0, 4))
 
     def init(self, key) -> TrainState:
         dummy_o = jnp.zeros((1, self.env.num_obs))
@@ -332,6 +344,86 @@ class PPO:
         return TrainState(params=params, opt_state=opt_state,
                           adapt_opt_state=adapt_opt_state, learning_rate=lr,
                           iteration=train_state.iteration + 1), metrics
+
+    # ------------------------------------------------- critic-only warmup
+    def _mask_to_critic(self, grads):
+        """Zero every gradient leaf outside the critic head ('critic_body' in
+        all policy variants), keeping the actor / adaptation / std / any
+        shared encoder bitwise frozen during warmup."""
+        def mask_top(path_key, subtree):
+            keep = path_key == "critic_body"
+            return jax.tree.map(lambda g: g if keep else jnp.zeros_like(g),
+                                subtree)
+        inner = {k: mask_top(k, v) for k, v in grads["params"].items()}
+        return {**grads, "params": inner}
+
+    def warmup_iteration(self, train_state: TrainState, env_state, obs_dict,
+                         key, warmup_opt_state):
+        """One rollout + value-loss-only update touching ONLY critic_body.
+
+        Resume-shock mitigation (docs/TRAINING_NOTES.md): a resumed value
+        function meets a fresh env distribution (staggered countdowns, goal
+        resampling) and its first clipped updates drag the policy through any
+        shared encoder.  Warmup lets the critic (and obs_rms) re-fit first;
+        the action distribution is provably unchanged (tests/test_ppo.py)."""
+        a = self.args
+        k_roll, k_update = jax.random.split(key)
+        env_state, last_obs, traj, roll_metrics, obs_rms = self.rollout(
+            train_state.params, env_state, obs_dict, k_roll,
+            train_state.obs_rms)
+        last_h = (obs_rms.normalize(last_obs["obs_history"])
+                  if self.normalize_obs else last_obs["obs_history"])
+        last_values = self.ac.apply(train_state.params, last_obs["obs"],
+                                    last_obs["privileged_obs"], last_h,
+                                    method=self._m.evaluate)
+        if self.n_eval:
+            traj = jax.tree.map(lambda x: x[:, :self.n_train], traj)
+            last_values = last_values[:self.n_train]
+        returns, _ = self.compute_gae(traj, last_values)
+
+        T, N = traj.rewards.shape
+        B = T * N
+        mb = B // a.num_mini_batches
+        perm = jax.random.permutation(key=k_update, x=a.num_mini_batches * mb)
+        flat = lambda x: x.reshape((B,) + x.shape[2:])
+        data = (flat(traj.obs), flat(traj.obs_history),
+                flat(traj.privileged_obs), flat(traj.values), flat(returns))
+        data = jax.tree.map(lambda x: x[perm].reshape(
+            (a.num_mini_batches, mb) + x.shape[1:]), data)
+
+        def body(carry, mb_i):
+            params, wopt = carry
+            o, h, p, target_values, rets = jax.tree.map(
+                lambda x: x[mb_i], data)
+
+            def loss_fn(prms):
+                value = self.ac.apply(prms, o, p, h, method=self._m.evaluate)
+                if a.use_clipped_value_loss:
+                    v_clipped = target_values + jnp.clip(
+                        value - target_values, -a.clip_param, a.clip_param)
+                    return jnp.mean(jnp.maximum(
+                        jnp.square(value - rets), jnp.square(v_clipped - rets)))
+                return jnp.mean(jnp.square(rets - value))
+
+            v_l, grads = jax.value_and_grad(loss_fn)(params)
+            grads = self._mask_to_critic(grads)
+            updates, wopt = self.warmup_tx.update(grads, wopt, params)
+            params = optax.apply_updates(params, updates)
+            return (params, wopt), v_l
+
+        idx = jnp.tile(jnp.arange(a.num_mini_batches), a.num_learning_epochs)
+        (params, warmup_opt_state), v_ls = jax.lax.scan(
+            body, (train_state.params, warmup_opt_state), idx)
+        train_state = train_state._replace(params=params)
+        if self.normalize_obs:
+            train_state = train_state._replace(obs_rms=obs_rms)
+        metrics = {"value_loss": jnp.mean(v_ls)}
+        return train_state, env_state, last_obs, metrics, warmup_opt_state
+
+    def warmup_iteration_jit(self, train_state, env_state, obs_dict, key,
+                             warmup_opt_state):
+        return self._warmup_iteration(train_state, env_state, obs_dict, key,
+                                      warmup_opt_state)
 
     # ------------------------------------------------------- one iteration
     def train_iteration(self, train_state: TrainState, env_state, obs_dict, key):

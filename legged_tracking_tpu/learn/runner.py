@@ -40,6 +40,11 @@ class RunnerArgs:
     # ppo_cse/__init__.py:58 + :322-345); 0 disables
     save_video_interval: int = 0
     video_frames: int = 250
+    # resume-shock mitigation (docs/TRAINING_NOTES.md): run this many
+    # critic-only warmup iterations after a --resume before any policy
+    # gradient flows (value head re-fits the fresh env distribution; the
+    # policy and any shared encoder stay bitwise frozen). 0 disables.
+    critic_warmup_iters: int = 0
 
 
 class Runner:
@@ -159,6 +164,19 @@ class Runner:
         cfg = env.cfg
         t0 = time.time()
         steps_per_iter = env.num_envs * self.alg.args.num_steps_per_env
+        # critic-only warmup after a resume (resume-shock mitigation)
+        wi = self.runner_args.critic_warmup_iters
+        if wi > 0 and self.runner_args.resume:
+            wopt = jax.tree.map(jnp.asarray,
+                                self.alg.warmup_tx.init(self.train_state.params))
+            for w in range(wi):
+                self.key, k = jax.random.split(self.key)
+                (self.train_state, self.env_state, self.obs_dict, wm,
+                 wopt) = self.alg.warmup_iteration_jit(
+                    self.train_state, self.env_state, self.obs_dict, k, wopt)
+                self.tot_timesteps += steps_per_iter
+                if verbose and (w % self.runner_args.log_freq == 0 or w == wi - 1):
+                    print(f"warmup {w:4d} | vloss {float(wm['value_loss']):.4f}")
         for it in range(num_learning_iterations):
             if profile_dir and it == 10:
                 jax.profiler.start_trace(profile_dir, create_perfetto_trace=True)

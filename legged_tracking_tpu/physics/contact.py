@@ -170,14 +170,18 @@ def contact_forces(
                            jnp.ones_like(pen_top)], axis=-1)
         force = force + surface_force(pen_top, n_top)
 
-    # accumulate per-body wrench at COM
+    # accumulate per-body wrench at COM.  The sphere->body / sphere->report
+    # maps are STATIC, so the accumulation is a one-hot contraction (a tiny
+    # batched matmul): the equivalent batched scatter-add lowers to a while
+    # loop serialized over all 48 spheres — measured 2 x 0.24 ms per substep
+    # = ~1.9 ms of the 10.4 ms env-step at 4096 envs (HLO while.60-67).
     torque = jnp.cross(p_s - f.com_w[sb], force)
-    f_ext = jnp.zeros((model.num_bodies, 6))
-    f_ext = f_ext.at[sb, :3].add(torque)
-    f_ext = f_ext.at[sb, 3:].add(force)
-
-    report = jnp.zeros((model.num_report_bodies, 3))
-    report = report.at[model.sphere_report].add(force)
+    S_body = (jnp.arange(model.num_bodies)[:, None]
+              == sb[None, :]).astype(force.dtype)                 # (nb, ns)
+    f_ext = jnp.concatenate([S_body @ torque, S_body @ force], axis=-1)
+    S_rep = (jnp.arange(model.num_report_bodies)[:, None]
+             == model.sphere_report[None, :]).astype(force.dtype)  # (nr, ns)
+    report = S_rep @ force
     return ContactOut(f_ext=f_ext, report=report, sphere_pos=p_s, sphere_vel=v_s)
 
 

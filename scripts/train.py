@@ -314,7 +314,8 @@ def main(args):
             num_obs_history=env.num_obs_history, num_actions=env.num_actions,
             args=ACCnnArgs(use_cnn=args.cnn, use_gru=args.gru,
                            height_map_shape=(2, nx, ny),
-                           normalize_obs=args.normalize_obs))
+                           normalize_obs=args.normalize_obs,
+                           critic_detach_encoder=args.critic_detach_encoder))
 
     ppo_args = PPOArgs(learning_rate=args.learning_rate, gamma=args.gamma,
                        num_steps_per_env=args.num_steps_per_env,
@@ -325,7 +326,8 @@ def main(args):
                        clip_param=args.clip_param)
     runner_args = RunnerArgs(num_steps_per_env=args.num_steps_per_env,
                              resume=args.resume,
-                             save_video_interval=args.save_video_interval)
+                             save_video_interval=args.save_video_interval,
+                             critic_warmup_iters=args.critic_warmup)
     if args.wandb:
         import wandb
         wandb.init(project="legged_tracking_tpu", config=vars(args),
@@ -370,6 +372,13 @@ def parse_args(argv=None):
     p.add_argument("--learning_rate", type=float, default=1e-3)
     p.add_argument("--max_adaptive_lr", type=float, default=1e-2,
                    help="ceiling of the adaptive-KL learning rate")
+    p.add_argument("--critic_warmup", type=int, default=0,
+                   help="critic-only warmup iterations after --resume "
+                        "(resume-shock mitigation: the value head re-fits the "
+                        "fresh env distribution before any policy gradient)")
+    p.add_argument("--critic_detach_encoder", action="store_true",
+                   help="stop the value gradient at the shared height-map "
+                        "encoder (CNN/GRU policies)")
     p.add_argument("--reset_action_std", type=float, default=None,
                    help="on resume, reset the policy std parameter to this "
                         "value (deflates entropy-driven std inflation)")

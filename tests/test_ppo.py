@@ -78,6 +78,41 @@ def test_eval_env_split():
     assert not np.allclose(p0, np.asarray(jax.tree.leaves(ts2.params)[0]))
 
 
+def test_critic_warmup_freezes_policy():
+    """warmup_iteration trains ONLY critic_body: the action distribution is
+    bitwise unchanged while the value head moves (resume-shock mitigation,
+    docs/TRAINING_NOTES.md)."""
+    env = make_env(num_envs=8)
+    alg = PPO(env, args=PPOArgs(num_steps_per_env=4, num_mini_batches=2,
+                                num_learning_epochs=2))
+    ts = alg.init(jax.random.key(0))
+    env_state = env.reset_fn(jax.random.key(1), False)
+    obs = jax.jit(env.observe)(env_state)
+
+    p0 = jax.tree.map(np.asarray, ts.params)
+    wopt = jax.tree.map(jnp.asarray, alg.warmup_tx.init(ts.params))
+    ts2, env_state2, obs2, wm, wopt = alg.warmup_iteration_jit(
+        ts, env_state, obs, jax.random.key(2), wopt)
+    assert bool(jnp.isfinite(wm["value_loss"]))
+    p1 = jax.tree.map(np.asarray, ts2.params)
+    for name, sub in p1["params"].items():
+        before = p0["params"][name]
+        same = all(np.array_equal(a, b) for a, b in
+                   zip(jax.tree.leaves(before), jax.tree.leaves(sub)))
+        if name == "critic_body":
+            assert not same, "critic head should train during warmup"
+        else:
+            assert same, f"{name} must stay bitwise frozen during warmup"
+    # std untouched too
+    assert np.array_equal(p0["params"]["std"], p1["params"]["std"])
+    # env advanced (warmup consumes real rollout steps)
+    assert int(env_state2.common_step) == 4
+    # a normal train iteration chains off the warmed-up state
+    ts3, _, _, m3 = alg.train_iteration_jit(ts2, env_state2, obs2,
+                                            jax.random.key(3))
+    assert bool(jnp.isfinite(m3["value_loss"]))
+
+
 def test_gae_matches_reference_recursion():
     """GAE vs a direct numpy port of rollout_storage.compute_returns (:76-90)."""
     env = make_env(num_envs=2)
