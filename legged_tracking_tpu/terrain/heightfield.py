@@ -157,8 +157,12 @@ def extract_patches_batched(terrain: TerrainArrays, env_tile, env_terrain_origin
           == (xs[:, None] + jnp.arange(px)[None, :])[:, :, None]).astype(tiles.dtype)
     Ey = (jnp.arange(w)[None, None, :]
           == (ys[:, None] + jnp.arange(py)[None, :])[:, :, None]).astype(tiles.dtype)
-    A = jnp.einsum("nph,nlhw->nlpw", Ex, tilesN)                # (N, 2, px, w)
-    patch = jnp.einsum("nlpw,nqw->nlpq", A, Ey)                 # (N, 2, px, py)
+    # native 1-pass bf16 MXU (see sample_patch_bilinear): the one-hot
+    # selection rounds stored heights to bf16 (<=0.4% of a cell value, the
+    # same order as the reference terrain's 5 mm vertical quantization)
+    with jax.default_matmul_precision("bfloat16"):
+        A = jnp.einsum("nph,nlhw->nlpw", Ex, tilesN)            # (N, 2, px, w)
+        patch = jnp.einsum("nlpw,nqw->nlpq", A, Ey)             # (N, 2, px, py)
     if h < px or w < py:        # tiny plane tiles: replicate the edge value
         # rows/cols beyond the tile came out zero; fill from the last valid
         if h < px:
@@ -184,8 +188,9 @@ def sample_patch_nearest(patch, xs, ys, hs, h, w, env_terrain_origin, points_xy)
     y0 = jnp.clip(jnp.clip(local[:, 1].astype(jnp.int32), 0, w - 2) - ys, 0, py - 1)
     Hx = (jnp.arange(px)[None, :] == x0[:, None]).astype(patch.dtype)  # (P, px)
     Hy = (jnp.arange(py)[None, :] == y0[:, None]).astype(patch.dtype)  # (P, py)
-    A = jnp.einsum("px,lxy->lpy", Hx, patch)
-    return jnp.einsum("lpy,py->pl", A, Hy)                              # (P, 2)
+    with jax.default_matmul_precision("bfloat16"):  # see sample_patch_bilinear
+        A = jnp.einsum("px,lxy->lpy", Hx, patch)
+        return jnp.einsum("lpy,py->pl", A, Hy)                          # (P, 2)
 
 
 def sample_patch_bilinear(patch, xs, ys, hs, h, w, env_terrain_origin, points_xy):
@@ -220,11 +225,18 @@ def sample_patch_bilinear(patch, xs, ys, hs, h, w, env_terrain_origin, points_xy
     dWx = (at1x - at0x) / hs
     dWy = (at1y - at0y) / hs
 
-    A = jnp.einsum("px,lxy->lpy", Wx, patch)                    # (2, P, PATCH)
-    Ax = jnp.einsum("px,lxy->lpy", dWx, patch)
-    height = jnp.einsum("lpy,py->pl", A, Wy)                    # (P, 2)
-    dhdx = jnp.einsum("lpy,py->pl", Ax, Wy)
-    dhdy = jnp.einsum("lpy,py->pl", A, dWy)
+    # native 1-pass bf16 MXU for the sampling contractions: product error
+    # <= 0.4% of a cell height delta (~4 mm at 1 m) — the same magnitude as
+    # the reference terrain's 5 mm vertical quantization, and deterministic
+    # per cell (equivalent to a minutely perturbed terrain).  The engine's
+    # surrounding float32 scope would otherwise run these as multi-pass
+    # emulation; these einsums dominate the rollout (CLAUDE.md perf log).
+    with jax.default_matmul_precision("bfloat16"):
+        A = jnp.einsum("px,lxy->lpy", Wx, patch)                # (2, P, PATCH)
+        Ax = jnp.einsum("px,lxy->lpy", dWx, patch)
+        height = jnp.einsum("lpy,py->pl", A, Wy)                # (P, 2)
+        dhdx = jnp.einsum("lpy,py->pl", Ax, Wy)
+        dhdy = jnp.einsum("lpy,py->pl", A, dWy)
     return height, jnp.stack([dhdx, dhdy], axis=-1)             # (P,2), (P,2,2)
 
 
