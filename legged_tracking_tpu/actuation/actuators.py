@@ -86,6 +86,67 @@ def scale_actions(actions, action_scale: float, hip_scale_reduction: float):
     return scaled * (1.0 + (hip_scale_reduction - 1.0) * hip_mask)
 
 
+def actuator_net_torque_lanes(p: ActuatorNetParams, x: jnp.ndarray) -> jnp.ndarray:
+    """Lane-major actuator net: x (6, 12, E) feature-leading.  The contraction
+    folds the (joint, env) axes into one MXU N dimension of 12*E columns —
+    one large matmul per layer instead of E batched 12x6 tiles."""
+    six, twelve, E = x.shape
+    flat = x.reshape(six, twelve * E)
+    h = _softsign(p.w0 @ flat + p.b0[:, None])
+    h = _softsign(p.w1 @ h + p.b1[:, None])
+    out = p.w2 @ h + p.b2[:, None]
+    return out.reshape(twelve, E)
+
+
+def make_torque_fn_lanes(
+    control_type: str,
+    net: ActuatorNetParams,
+    default_dof_pos: jnp.ndarray,   # (12,)
+    p_gain: float,
+    d_gain: float,
+    torque_limits: jnp.ndarray,     # (12,)
+    randomize_lag: bool,
+):
+    """Lane-major mirror of make_torque_fn: every carry array has the env
+    axis TRAILING ((L,12,E) lag buffer, (12,E) per-joint arrays)."""
+    ddp = default_dof_pos[:, None]
+    tl = torque_limits[:, None]
+
+    def torque_fn(qj, qdj, carry):
+        st, motor_strength, motor_offset, kp_f, kd_f, actions_scaled = carry
+        if randomize_lag:
+            lag = jnp.concatenate([st.lag_buffer[1:], actions_scaled[None]], axis=0)
+            target = lag[0] + ddp
+        else:
+            lag = st.lag_buffer
+            target = actions_scaled + ddp
+
+        if control_type == "actuator_net":
+            q_err = qj - target + motor_offset
+            x = jnp.stack(
+                [q_err, st.joint_pos_err_last, st.joint_pos_err_last2,
+                 qdj, st.joint_vel_last, st.joint_vel_last2], axis=0
+            )  # (6, 12, E)
+            tau = actuator_net_torque_lanes(net, x)
+            st = st._replace(
+                joint_pos_err_last2=st.joint_pos_err_last,
+                joint_pos_err_last=q_err,
+                joint_vel_last2=st.joint_vel_last,
+                joint_vel_last=qdj,
+            )
+        elif control_type == "P":
+            tau = p_gain * kp_f * (target - qj + motor_offset) - d_gain * kd_f * qdj
+        else:
+            raise NameError(f"Unknown controller type: {control_type}")
+
+        tau = tau * motor_strength
+        tau = jnp.clip(tau, -tl, tl)
+        st = st._replace(lag_buffer=lag, joint_pos_target=target)
+        return tau, (st, motor_strength, motor_offset, kp_f, kd_f, actions_scaled)
+
+    return torque_fn
+
+
 def make_torque_fn(
     control_type: str,
     net: ActuatorNetParams,

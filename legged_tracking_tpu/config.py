@@ -463,6 +463,9 @@ class SimCfg:
     joint_limit_stiffness: float = 80.0
     joint_limit_damping: float = 2.0
     max_depenetration_velocity: float = 1.0
+    # lane-major (env-minor) physics layout: same math, env batch on the TPU
+    # lane axis (physics/lanes.py) — large fusions run at full VPU occupancy
+    lane_engine: bool = False
 
 
 @dataclass

@@ -33,7 +33,8 @@ import numpy as np
 from ..actuation import actuators
 from ..config import Cfg
 from ..physics import model as go1_model
-from ..physics.engine import PhysParams, PhysState, control_step
+from ..physics.engine import (PhysParams, PhysState, control_step,
+                              control_step_lanes)
 from ..rewards import RewardCtx, get_container
 from ..terrain.heightfield import (TerrainArrays, extract_patch,
                                    extract_patches_batched,
@@ -129,6 +130,10 @@ class LeggedEnv:
         # actuator model
         self.actuator_net = actuators.load_actuator_net()
         self._torque_fn = actuators.make_torque_fn(
+            cfg.control.control_type, self.actuator_net, self.default_dof_pos,
+            cfg.control.stiffness, cfg.control.damping,
+            self.model.dof_effort, cfg.domain_rand.randomize_lag_timesteps)
+        self._torque_fn_lanes = actuators.make_torque_fn_lanes(
             cfg.control.control_type, self.actuator_net, self.default_dof_pos,
             cfg.control.stiffness, cfg.control.damping,
             self.model.dof_effort, cfg.domain_rand.randomize_lag_timesteps)
@@ -451,15 +456,25 @@ class LeggedEnv:
             terrain, terrain.env_tile, terrain.env_terrain_origin,
             state.phys.base_pos[:, :2])
 
-        def one_env(phys, carry, p, patch, torigin):
-            return control_step(
-                model, terrain, patch, torigin, phys, self._torque_fn, carry, p,
+        if cfg.sim.lane_engine:
+            phys, carry, aux = control_step_lanes(
+                model, terrain, patches[0], patches[1], patches[2],
+                terrain.env_terrain_origin, state.phys,
+                self._torque_fn_lanes, carry0, params,
                 cfg.sim.dt, cfg.control.decimation,
                 cfg.sim.contact_stiffness, cfg.sim.contact_damping,
                 cfg.sim.joint_limit_stiffness, cfg.sim.joint_limit_damping)
+        else:
+            def one_env(phys, carry, p, patch, torigin):
+                return control_step(
+                    model, terrain, patch, torigin, phys, self._torque_fn,
+                    carry, p, cfg.sim.dt, cfg.control.decimation,
+                    cfg.sim.contact_stiffness, cfg.sim.contact_damping,
+                    cfg.sim.joint_limit_stiffness,
+                    cfg.sim.joint_limit_damping)
 
-        phys, carry, aux = jax.vmap(one_env)(
-            state.phys, carry0, params, patches, terrain.env_terrain_origin)
+            phys, carry, aux = jax.vmap(one_env)(
+                state.phys, carry0, params, patches, terrain.env_terrain_origin)
         act_state = carry[0]
         torques = aux.torques
         contact_forces = aux.contact_report                       # (N, 17, 3)

@@ -22,7 +22,7 @@ import numpy as np
 from ..actuation import actuators
 from ..config import Cfg
 from ..physics.engine import PhysParams, PhysState
-from ..physics.engine import control_step
+from ..physics.engine import control_step, control_step_lanes
 from ..rewards import RewardCtx
 from ..tasks.curriculum import DeviceCurriculum
 from ..tasks.gaits import step_contact_targets
@@ -259,15 +259,25 @@ class VelocityTrackingEnv(LeggedEnv):
             terrain, terrain.env_tile, terrain.env_terrain_origin,
             state.phys.base_pos[:, :2])
 
-        def one_env(phys, carry, p, patch, torigin):
-            return control_step(
-                model, terrain, patch, torigin, phys, self._torque_fn, carry, p,
+        if cfg.sim.lane_engine:
+            phys, carry, aux = control_step_lanes(
+                model, terrain, patches[0], patches[1], patches[2],
+                terrain.env_terrain_origin, state.phys,
+                self._torque_fn_lanes, carry0, params,
                 cfg.sim.dt, cfg.control.decimation,
                 cfg.sim.contact_stiffness, cfg.sim.contact_damping,
                 cfg.sim.joint_limit_stiffness, cfg.sim.joint_limit_damping)
+        else:
+            def one_env(phys, carry, p, patch, torigin):
+                return control_step(
+                    model, terrain, patch, torigin, phys, self._torque_fn,
+                    carry, p, cfg.sim.dt, cfg.control.decimation,
+                    cfg.sim.contact_stiffness, cfg.sim.contact_damping,
+                    cfg.sim.joint_limit_stiffness,
+                    cfg.sim.joint_limit_damping)
 
-        phys, carry, aux = jax.vmap(one_env)(
-            state.phys, carry0, params, patches, terrain.env_terrain_origin)
+            phys, carry, aux = jax.vmap(one_env)(
+                state.phys, carry0, params, patches, terrain.env_terrain_origin)
         act_state = carry[0]
         torques = aux.torques
         contact_forces = aux.contact_report

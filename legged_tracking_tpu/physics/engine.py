@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..terrain.heightfield import TerrainArrays
 from . import contact as _contact
-from . import dynamics, kinematics, sparse
+from . import dynamics, kinematics, lanes, sparse
 from .model import Go1Model
 
 
@@ -156,3 +156,94 @@ def _control_step_body(
         sphere_vel=c.sphere_vel,
     )
     return state, torque_carry, aux
+
+
+def control_step_lanes(
+    model: Go1Model,
+    terrain: TerrainArrays,
+    patches,                    # (N, 2, P, P) env-major per-env windows
+    xs, ys,                     # (N,) window offsets
+    env_terrain_origin,         # (N, 2)
+    state: PhysState,           # env-major (N-leading) fields
+    torque_fn,                  # LANE-major fn from make_torque_fn_lanes
+    torque_carry,               # env-major pytree (N-leading arrays)
+    params: PhysParams,         # env-major
+    sim_dt: float,
+    decimation: int,
+    contact_stiffness: float,
+    contact_damping: float,
+    joint_limit_stiffness: float,
+    joint_limit_damping: float,
+) -> tuple:
+    """Whole-batch control step in the lane-major layout (physics/lanes.py):
+    env-major state in/out, everything between transposed so the env batch
+    rides the 128-wide lane axis.  Same decimation/staleness semantics as
+    :func:`control_step` (factorization + apparent masses computed once per
+    control step, world inertias refreshed per substep)."""
+    to_lanes = lambda t: jax.tree.map(lambda a: jnp.moveaxis(a, 0, -1), t)
+    to_envs = lambda t: jax.tree.map(lambda a: jnp.moveaxis(a, -1, 0), t)
+
+    bp, bq, qj, v = (state.base_pos.T, state.base_quat.T,
+                     state.qj.T, state.v.T)
+    carry = to_lanes(torque_carry)
+    gravity = params.gravity.T
+    com_off = params.com_offset.T
+    E = bp.shape[-1]
+    report_acc = jnp.zeros((model.num_report_bodies, 3, E))
+    tau = jnp.zeros((model.num_dof, E))
+    c = None
+    fac0 = None
+    W0 = None
+
+    with jax.default_matmul_precision("float32"):
+        for k in range(decimation):
+            bs, alpha_vp, acc_vp = lanes.velocity_jvp(model, bp, bq, qj, v,
+                                                      com_off)
+            if k == 0:
+                fac0 = lanes.factorize(model, bs.fk, params.payload)
+                W0 = lanes.apparent_masses(model, bs.fk, fac0)
+                fac = fac0
+            else:
+                fac = fac0._replace(Iw=lanes.world_inertia(bs.fk.R,
+                                                           model.inertia))
+            tau, carry = torque_fn(qj, v[6:], carry)
+            c = lanes.contact_forces(
+                model, terrain, patches, xs, ys, env_terrain_origin, bs, W0,
+                params.friction, params.restitution,
+                contact_stiffness, contact_damping, sim_dt)
+            tau_total = tau + lanes.joint_limit_torque(
+                model, qj, v[6:], joint_limit_stiffness, joint_limit_damping)
+            qdd = lanes.forward_dynamics(model, v, tau_total, c.f_ext,
+                                         gravity, bs, fac,
+                                         vp=(alpha_vp, acc_vp))
+            bp, bq, qj, v = lanes.integrate(bp, bq, qj, v, qdd, sim_dt)
+            lower = jnp.asarray(model.dof_lower)[:, None]
+            upper = jnp.asarray(model.dof_upper)[:, None]
+            vlim = jnp.asarray(model.dof_vel_limit)[:, None]
+            qj = jnp.clip(qj, lower, upper)
+            vj = jnp.clip(v[6:], -vlim, vlim)
+            # spin/velocity safety (see _control_step_body), lane-major
+            w, u = v[3:6], v[:3]
+            wmag = jnp.sqrt(jnp.sum(w * w, axis=0))
+            w = w * jnp.where(wmag > 10.0,
+                              (10.0 + 0.5 * (wmag - 10.0))
+                              / jnp.maximum(wmag, 1e-6), 1.0)[None]
+            umag = jnp.sqrt(jnp.sum(u * u, axis=0))
+            u = u * jnp.where(umag > 15.0,
+                              (15.0 + 0.5 * (umag - 15.0))
+                              / jnp.maximum(umag, 1e-6), 1.0)[None]
+            v = jnp.concatenate([
+                jnp.clip(u, -100.0, 100.0),
+                jnp.clip(w, -50.0, 50.0),
+                vj,
+            ])
+            report_acc = report_acc + c.report
+
+    out_state = PhysState(base_pos=bp.T, base_quat=bq.T, qj=qj.T, v=v.T)
+    aux = StepAux(
+        contact_report=jnp.moveaxis(report_acc, -1, 0) / decimation,
+        torques=tau.T,
+        sphere_pos=jnp.moveaxis(c.sphere_pos, -1, 0),
+        sphere_vel=jnp.moveaxis(c.sphere_vel, -1, 0),
+    )
+    return out_state, to_envs(carry), aux
