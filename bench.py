@@ -53,6 +53,9 @@ def main():
     cfg.commands.traj_length = 1
     cfg.commands.switch_dist = 0.3
     cfg.commands.base_x = 2.6
+    # lane-major physics path (physics/lanes.py); BENCH_LANE=1 to A/B it
+    # against the proven env-major engine (default until measured on-chip)
+    cfg.sim.lane_engine = os.environ.get("BENCH_LANE", "0") == "1"
 
     env = LeggedEnv(cfg)
     alg = PPO(env, args=PPOArgs())

@@ -139,8 +139,11 @@ def extract_patches_batched(terrain: TerrainArrays, env_tile, env_terrain_origin
     """Batched robot-local windows for ALL envs at once.
 
     vmapped dynamic_slice lowers to serialized while-loops on TPU (~29 ms/step
-    measured); this formulation is one contiguous row gather + two one-hot
-    contractions on the MXU.
+    measured); this formulation gathers only the px needed ROWS per env from
+    the flat (T*2*h, w) row table (vs. the earlier whole-tile gather: 2.5x
+    less HBM traffic at the bench terrain), then cuts columns with one
+    one-hot MXU contraction.  Rows/columns beyond a tiny tile clamp to the
+    edge (same replication the old pad branch produced).
 
     base_xy (N, 2) -> (patch (N, 2, px, py), xs (N,), ys (N,)).
     """
@@ -150,27 +153,20 @@ def extract_patches_batched(terrain: TerrainArrays, env_tile, env_terrain_origin
     local = (base_xy - env_terrain_origin[:, :2]) / hs
     xs = jnp.clip(local[:, 0].astype(jnp.int32) - px // 2, 0, max(h - px, 0))
     ys = jnp.clip(local[:, 1].astype(jnp.int32) - py // 2, 0, max(w - py, 0))
-    tilesN = tiles[env_tile]                                    # (N, 2, h, w)
-    # Ex[n, p, x] = 1 at x == xs[n] + p (rows beyond the tile select nothing;
-    # xs clamping guarantees in-range when px <= h)
-    Ex = (jnp.arange(h)[None, None, :]
-          == (xs[:, None] + jnp.arange(px)[None, :])[:, :, None]).astype(tiles.dtype)
+    rows = tiles.reshape(tiles.shape[0] * 2 * h, w)             # free reshape
+    p_idx = jnp.clip(xs[:, None] + jnp.arange(px)[None, :], 0, h - 1)
+    ridx = (env_tile[:, None, None] * (2 * h)
+            + jnp.arange(2, dtype=env_tile.dtype)[None, :, None] * h
+            + p_idx[:, None, :])                                # (N, 2, px)
+    g = rows[ridx]                                              # (N, 2, px, w)
+    q_idx = jnp.clip(ys[:, None] + jnp.arange(py)[None, :], 0, w - 1)
     Ey = (jnp.arange(w)[None, None, :]
-          == (ys[:, None] + jnp.arange(py)[None, :])[:, :, None]).astype(tiles.dtype)
+          == q_idx[:, :, None]).astype(tiles.dtype)             # (N, py, w)
     # native 1-pass bf16 MXU (see sample_patch_bilinear): the one-hot
     # selection rounds stored heights to bf16 (<=0.4% of a cell value, the
     # same order as the reference terrain's 5 mm vertical quantization)
     with jax.default_matmul_precision("bfloat16"):
-        A = jnp.einsum("nph,nlhw->nlpw", Ex, tilesN)            # (N, 2, px, w)
-        patch = jnp.einsum("nlpw,nqw->nlpq", A, Ey)             # (N, 2, px, py)
-    if h < px or w < py:        # tiny plane tiles: replicate the edge value
-        # rows/cols beyond the tile came out zero; fill from the last valid
-        if h < px:
-            patch = patch.at[:, :, min(px, h):, :].set(
-                patch[:, :, min(px, h) - 1: min(px, h), :])
-        if w < py:
-            patch = patch.at[:, :, :, min(py, w):].set(
-                patch[:, :, :, min(py, w) - 1: min(py, w)])
+        patch = jnp.einsum("nlpw,nqw->nlpq", g, Ey)             # (N, 2, px, py)
     return patch, xs, ys
 
 

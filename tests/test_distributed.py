@@ -18,7 +18,7 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 virtual devices")
 
 
-def make_env(num_envs=8):
+def make_env(num_envs=8, lane_engine=False):
     cfg = config_go1(Cfg())
     cfg.env.num_envs = num_envs
     cfg.terrain.mesh_type = "plane"
@@ -26,11 +26,13 @@ def make_env(num_envs=8):
     cfg.control.control_type = "P"
     cfg.env.episode_length_s = 2.0
     cfg.control.decimation = 2
+    cfg.sim.lane_engine = lane_engine
     return LeggedEnv(cfg)
 
 
-def test_sharded_rollout_matches_single_device():
-    env = make_env()
+@pytest.mark.parametrize("lane_engine", [False, True])
+def test_sharded_rollout_matches_single_device(lane_engine):
+    env = make_env(lane_engine=lane_engine)
     state = env.reset_fn(jax.random.key(3), False)
     step = jax.jit(env.step_fn)
     a = jnp.full((8, 12), 0.05)
