@@ -15,17 +15,19 @@ from functools import partial
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
+def build(num_envs=None, lane_engine=None):
+    """The bench configuration (shared with tools/profile_bench.py).
+
+    Returns (env, alg, train_state, env_state, obs_dict)."""
     import jax
+    import numpy as np
 
     from legged_tracking_tpu.config import Cfg, config_go1
     from legged_tracking_tpu.envs import LeggedEnv
     from legged_tracking_tpu.learn import PPO, PPOArgs
 
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
-    iters = int(os.environ.get("BENCH_ITERS", 10))
-
-    import numpy as np
+    if num_envs is None:
+        num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
     cfg = config_go1(Cfg())
     cfg.env.num_envs = num_envs
     cfg.terrain.mesh_type = "trimesh"
@@ -55,13 +57,24 @@ def main():
     cfg.commands.base_x = 2.6
     # lane-major physics path (physics/lanes.py); BENCH_LANE=1 to A/B it
     # against the proven env-major engine (default until measured on-chip)
-    cfg.sim.lane_engine = os.environ.get("BENCH_LANE", "0") == "1"
+    if lane_engine is None:
+        lane_engine = os.environ.get("BENCH_LANE", "0") == "1"
+    cfg.sim.lane_engine = lane_engine
 
     env = LeggedEnv(cfg)
     alg = PPO(env, args=PPOArgs())
     ts = alg.init(jax.random.key(0))
     env_state = env._reset_jit(jax.random.key(1), True)
     obs = env._observe_jit(env_state)
+    return env, alg, ts, env_state, obs
+
+
+def main():
+    import jax
+
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+    env, alg, ts, env_state, obs = build(num_envs)
 
     key = jax.random.key(2)
 
