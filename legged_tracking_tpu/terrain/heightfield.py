@@ -227,12 +227,22 @@ def sample_patch_bilinear(patch, xs, ys, hs, h, w, env_terrain_origin, points_xy
     # per cell (equivalent to a minutely perturbed terrain).  The engine's
     # surrounding float32 scope would otherwise run these as multi-pass
     # emulation; these einsums dominate the rollout (CLAUDE.md perf log).
+    #
+    # The value/derivative weights are STACKED so the whole sampling is two
+    # MXU ops instead of five: stage 1's M grows 48->96, which is free (the
+    # MXU pads M to 128 either way — each separate einsum paid the same full
+    # pass; device trace: 413+346 us/substep for the two stage-1 matmuls at
+    # 4096 envs), and stage 2 fuses its three K=PATCH reductions into one
+    # batched (4,PATCH)@(PATCH,2) dot (was 267+179+179 us).  Contractions,
+    # operand order and f32 accumulation are unchanged per output element.
+    W2x = jnp.stack([Wx, dWx])                                  # (2, P, PATCH)
+    W2y = jnp.stack([Wy, dWy])
     with jax.default_matmul_precision("bfloat16"):
-        A = jnp.einsum("px,lxy->lpy", Wx, patch)                # (2, P, PATCH)
-        Ax = jnp.einsum("px,lxy->lpy", dWx, patch)
-        height = jnp.einsum("lpy,py->pl", A, Wy)                # (P, 2)
-        dhdx = jnp.einsum("lpy,py->pl", Ax, Wy)
-        dhdy = jnp.einsum("lpy,py->pl", A, dWy)
+        A2 = jnp.einsum("kpx,lxy->klpy", W2x, patch)            # (2, 2, P, PATCH)
+        out = jnp.einsum("klpy,mpy->pklm", A2, W2y)             # (P, 2, 2, 2)
+    height = out[:, 0, :, 0]                                     # Wx·patch·Wy
+    dhdx = out[:, 1, :, 0]                                       # dWx·patch·Wy
+    dhdy = out[:, 0, :, 1]                                       # Wx·patch·dWy
     return height, jnp.stack([dhdx, dhdy], axis=-1)             # (P,2), (P,2,2)
 
 
