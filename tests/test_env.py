@@ -102,7 +102,8 @@ def test_tunnel_env_steps():
     # height scan must see the ceiling (top layer < 1.0 somewhere)
     h = env._get_heights(env.state.phys.base_pos,
                          jnp.zeros((4, 3)))
-    assert np.asarray(h)[:, 0].max() <= cfg.terrain.ceiling_height + 1e-5
+    # + bf16 height quantization of the patch store (heightfield.py)
+    assert np.asarray(h)[:, 0].max() <= cfg.terrain.ceiling_height * (1 + 2**-8)
 
 
 def test_reward_scales_wired():
