@@ -316,7 +316,11 @@ class LeggedEnv:
             feet_air_time=jnp.zeros((N, 4)), last_contacts=jnp.zeros((N, 4), bool),
             contact_forces=jnp.zeros((N, self.model.num_report_bodies, 3)),
             torques=jnp.zeros((N, 12)),
-            obs_history=jnp.zeros((N, self.num_obs_history)),
+            # bf16: every consumer is a bf16 MXU matmul (XLA already stores
+            # the rollout buffer in bf16 for the same reason); f32 state
+            # maintenance of the (N, H*obs) concat/copies cost ~8 ms/iter
+            # at 4096 envs in device traces
+            obs_history=jnp.zeros((N, self.num_obs_history), jnp.bfloat16),
             exploration_lin_scale=jnp.asarray(
                 self.reward_scales[self._exp_lin_idx] if self._exp_lin_idx >= 0 else 0.0),
             exploration_yaw_scale=jnp.asarray(
@@ -718,7 +722,9 @@ class LeggedEnv:
         priv = jnp.clip(priv, -cfg.normalization.clip_observations,
                         cfg.normalization.clip_observations)
 
-        obs_history = jnp.concatenate([state.obs_history[:, self.num_obs:], obs], axis=-1)
+        obs_history = jnp.concatenate(
+            [state.obs_history[:, self.num_obs:],
+             obs.astype(state.obs_history.dtype)], axis=-1)
 
         # ---- action memory updates (:148-153; reset zeroing :246-248) ----
         new_state = EnvState(
@@ -790,7 +796,9 @@ class LeggedEnv:
             motor_strength=state.motor_strength, motor_offset=state.motor_offset,
             kp_factor=state.kp_factor, kd_factor=state.kd_factor,
             base_z=phys.base_pos[:, 2], base_lin_vel=blv, gravity_vec=state.gravity_vec)
-        obs_history = jnp.concatenate([state.obs_history[:, self.num_obs:], obs], axis=-1)
+        obs_history = jnp.concatenate(
+            [state.obs_history[:, self.num_obs:],
+             obs.astype(state.obs_history.dtype)], axis=-1)
         return {"obs": obs, "privileged_obs": priv, "obs_history": obs_history}
 
     def step(self, actions):

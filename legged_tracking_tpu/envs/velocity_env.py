@@ -202,8 +202,9 @@ class VelocityTrackingEnv(LeggedEnv):
             kp_factor=state.kp_factor, kd_factor=state.kd_factor,
             base_z=phys.base_pos[:, 2], base_lin_vel=blv,
             gravity_vec=state.gravity_vec)
-        obs_history = jnp.concatenate([state.obs_history[:, self.num_obs:], obs],
-                                      axis=-1)
+        obs_history = jnp.concatenate(
+            [state.obs_history[:, self.num_obs:],
+             obs.astype(state.obs_history.dtype)], axis=-1)
         return {"obs": obs, "privileged_obs": priv, "obs_history": obs_history}
 
     # ---------------------------------------------------------------- reset
@@ -517,7 +518,9 @@ class VelocityTrackingEnv(LeggedEnv):
             base_lin_vel=blv_o, gravity_vec=gravity_vec)
         priv = jnp.clip(priv, -cfg.normalization.clip_observations,
                         cfg.normalization.clip_observations)
-        obs_history = jnp.concatenate([state.obs_history[:, self.num_obs:], obs], axis=-1)
+        obs_history = jnp.concatenate(
+            [state.obs_history[:, self.num_obs:],
+             obs.astype(state.obs_history.dtype)], axis=-1)
 
         new_state = state._replace(
             phys=phys, act=act_state,
