@@ -322,17 +322,24 @@ class PPO:
         data = jax.tree.map(lambda x: x[perm].reshape(
             (a.num_mini_batches, mb) + x.shape[1:]), data)
 
-        def body(carry, mb_i):
-            batch = jax.tree.map(lambda x: x[mb_i], data)
-            return self._minibatch_update(carry, batch)
-
-        idx = jnp.tile(jnp.arange(a.num_mini_batches), a.num_learning_epochs)
+        # scan over EPOCHS with the minibatch loop unrolled: a traced
+        # minibatch index forces a dynamic-slice COPY of each ~200 MB
+        # minibatch (20 x 0.63 ms/iter in device traces); static slices fuse
+        # into their consumer matmuls instead. Update order is unchanged.
+        def epoch_body(carry, _):
+            stats_e = []
+            for i in range(a.num_mini_batches):
+                batch = jax.tree.map(lambda x: x[i], data)
+                carry, s = self._minibatch_update(carry, batch)
+                stats_e.append(s)
+            return carry, jnp.stack(stats_e)
 
         carry = (train_state.params, train_state.opt_state,
                  train_state.adapt_opt_state, train_state.learning_rate)
-        carry, stats = jax.lax.scan(body, carry, idx)
+        carry, stats = jax.lax.scan(epoch_body, carry, None,
+                                    length=a.num_learning_epochs)
         params, opt_state, adapt_opt_state, lr = carry
-        mean_stats = jnp.mean(stats, axis=0)
+        mean_stats = jnp.mean(stats, axis=(0, 1))
         metrics = {
             "value_loss": mean_stats[0],
             "surrogate_loss": mean_stats[1],
