@@ -168,7 +168,10 @@ class PPO:
             h = obs_dict["obs_history"]
             p = obs_dict["privileged_obs"]
             if self.normalize_obs:
-                h = obs_rms.normalize(h)
+                # stats accumulate in f32 (update() upcasts); the whitened
+                # stream goes back to bf16 — its only consumers are bf16 MXU
+                # matmuls and the rollout buffer, which stays half-width
+                h = obs_rms.normalize(h).astype(obs_dict["obs_history"].dtype)
                 obs_rms = obs_rms.update(obs_dict["obs_history"])
             mean, std = self.ac.apply(params, o, p, h, method=self._m.action_dist)
             std = jnp.broadcast_to(std, mean.shape)
@@ -398,10 +401,9 @@ class PPO:
         data = jax.tree.map(lambda x: x[perm].reshape(
             (a.num_mini_batches, mb) + x.shape[1:]), data)
 
-        def body(carry, mb_i):
+        def minibatch(carry, batch):
             params, wopt = carry
-            o, h, p, target_values, rets = jax.tree.map(
-                lambda x: x[mb_i], data)
+            o, h, p, target_values, rets = batch
 
             def loss_fn(prms):
                 value = self.ac.apply(prms, o, p, h, method=self._m.evaluate)
@@ -418,9 +420,17 @@ class PPO:
             params = optax.apply_updates(params, updates)
             return (params, wopt), v_l
 
-        idx = jnp.tile(jnp.arange(a.num_mini_batches), a.num_learning_epochs)
+        # static minibatch slices inside an epoch scan (see update())
+        def epoch_body(carry, _):
+            v_ls = []
+            for i in range(a.num_mini_batches):
+                carry, v_l = minibatch(carry, jax.tree.map(lambda x: x[i], data))
+                v_ls.append(v_l)
+            return carry, jnp.stack(v_ls)
+
         (params, warmup_opt_state), v_ls = jax.lax.scan(
-            body, (train_state.params, warmup_opt_state), idx)
+            epoch_body, (train_state.params, warmup_opt_state), None,
+            length=a.num_learning_epochs)
         train_state = train_state._replace(params=params)
         if self.normalize_obs:
             train_state = train_state._replace(obs_rms=obs_rms)

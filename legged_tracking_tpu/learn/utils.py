@@ -26,6 +26,7 @@ class RunningMeanStd(NamedTuple):
                               count=jnp.asarray(epsilon))
 
     def update(self, arr):
+        arr = arr.astype(self.mean.dtype)   # f32 stats even for bf16 streams
         batch_mean = jnp.mean(arr, axis=0)
         batch_var = jnp.var(arr, axis=0)
         batch_count = arr.shape[0]

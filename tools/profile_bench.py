@@ -10,11 +10,16 @@ this packages the round-2 HLO-grep methodology into one command:
 The HLO report compiles ONE train iteration and prints:
 - `while(` loops (serialized scatter/gather patterns) with source metadata,
 - fusion count + the largest fusions by instruction count,
-- gather/scatter/dot tallies per source file.
+- gather/scatter/dot/dynamic-slice tallies per source line.
 Compile-only needs no bench run, so it is safe even on a freshly recovered
 tunnel; --trace launches jax.profiler around a short timed loop (the known
 wedge trigger is SUSTAINED multi-thousand-iteration traces; 3 iterations
 has been safe).
+
+The highest-yield analysis joins a --trace with a --hlo --out dump offline:
+aggregate per-op durations from the trace's "XLA Ops" thread, map op names
+to source_file:line via the HLO metadata, and sum by line (this attribution
+found the round-2 sampling/minibatch wins — docs/ARCHITECTURE.md).
 """
 
 import argparse
@@ -25,40 +30,49 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# HLO result types may be tuples whose rendering contains spaces:
+#   %f = (f32[...]{...}, f32[...]{...}) fusion(...)
+_RESULT = r"= (?:\S+|\(.*?\)) "
+
+
+def _src_tag(line):
+    m = re.search(r'source_file="([^"]+)".*?source_line=(\d+)', line)
+    return f"{os.path.basename(m.group(1))}:{m.group(2)}" if m else "<no metadata>"
+
 
 def hlo_report(text, top=15):
     lines = text.splitlines()
-    n_fusion = sum(1 for l in lines if re.search(r"= \S+ fusion\(", l))
+    n_fusion = sum(1 for l in lines if re.search(_RESULT + r"fusion\(", l))
     print(f"total instructions: {len(lines)}, fusions: {n_fusion}")
 
-    # while results are tuple-typed: `%x = (f32[..], ..) while(` — match both
-    whiles = [l for l in lines if re.search(r"= (\S+|\(.*\)) while\(", l)]
+    whiles = [l for l in lines if re.search(_RESULT + r"while\(", l)]
     print(f"\n`while(` loops: {len(whiles)}")
     for l in whiles[:top]:
         meta = re.search(r'metadata=\{[^}]*\}', l)
         print("  " + (meta.group(0)[:160] if meta else l.strip()[:160]))
 
-    per_file = collections.Counter()
-    for op in ("gather(", "scatter(", "dynamic-slice(", "dynamic-update-slice("):
-        ops = [l for l in lines if re.search(r"= \S+ " + re.escape(op), l)]
+    per_line = collections.Counter()
+    for op in ("gather(", "scatter(", "dot(", "dynamic-slice(",
+               "dynamic-update-slice("):
+        ops = [l for l in lines if re.search(_RESULT + re.escape(op), l)]
         print(f"\n{op} count: {len(ops)}")
+        for l in ops:
+            per_line[f"{op[:-1]} @ {_src_tag(l)}"] += 1
         for l in ops[:top]:
-            m = re.search(r'source_file="([^"]+)".*?source_line=(\d+)', l)
-            shape = re.search(r"= (\S+) " + re.escape(op), l)
-            tag = (f"{os.path.basename(m.group(1))}:{m.group(2)}"
-                   if m else "<no metadata>")
-            per_file[tag] += 1
-            print(f"  {shape.group(1) if shape else '?':40s} {tag}")
+            shape = re.search(r"= (\S+|\(.*?\)) " + re.escape(op), l)
+            print(f"  {shape.group(1)[:40] if shape else '?':40s} {_src_tag(l)}")
 
-    # largest fusions by parameter count of their computation bodies
+    print("\nop tallies per source line (top 25):")
+    for tag, n in per_line.most_common(25):
+        print(f"  {n:5d}  {tag}")
+
+    # largest fusion bodies by instruction count
     fus_sizes = collections.Counter()
     cur = None
     for l in lines:
-        mm = re.match(r"\s*%?(fused_computation[^ ({]*)", l)
         if l.strip().startswith("%fused_computation") or (
                 "fused_computation" in l and l.rstrip().endswith("{")):
-            name = l.strip().split()[0].lstrip("%")
-            cur = name
+            cur = l.strip().split()[0].lstrip("%")
         elif cur is not None:
             if l.strip() == "}":
                 cur = None
@@ -76,16 +90,19 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--out", default=None, help="also dump HLO text here")
     args = ap.parse_args()
+    # validate BEFORE bench.build(): the build costs minutes of chip time
+    if not args.hlo and not args.trace:
+        ap.error("pass --hlo and/or --trace DIR")
+    if args.trace and args.iters < 1:
+        ap.error("--trace needs --iters >= 1")
 
     import jax
     if os.environ.get("PROFILE_CPU") == "1":  # smoke-test off-chip
         jax.config.update("jax_platforms", "cpu")
-    from functools import partial
     import bench
 
     env, alg, ts, env_state, obs = bench.build()
-    fn = partial(alg.train_iteration)
-    jfn = jax.jit(fn, donate_argnums=(0,))
+    jfn = jax.jit(alg.train_iteration, donate_argnums=(0,))
     key = jax.random.key(2)
 
     if args.hlo:
@@ -97,16 +114,14 @@ def main():
                 f.write(txt)
             print(f"wrote {args.out} ({len(txt)} bytes)")
         hlo_report(txt)
-        return
 
     if args.trace:
         import time
         # warmup 2 calls (compile + steady signature)
         for _ in range(2):
             key, k = jax.random.split(key)
-            ts2 = jfn(ts, env_state, obs, k)
-            ts, env_state, obs = ts2[0], ts2[1], ts2[2]
-        jax.block_until_ready(ts.params)
+            ts, env_state, obs, m = jfn(ts, env_state, obs, k)
+        jax.block_until_ready(m["value_loss"])
         with jax.profiler.trace(args.trace):
             t0 = time.perf_counter()
             for _ in range(args.iters):
