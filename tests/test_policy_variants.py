@@ -98,3 +98,30 @@ def test_eval_reconstructs_family_from_checkpoint(variant, tmp_path):
     a = policy(obs["obs"], obs["obs_history"])
     ref = alg.act_inference(ts.params, obs["obs"], obs["obs_history"])
     np.testing.assert_allclose(np.asarray(a), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("use_gru", [True, False])
+def test_gru_recurrence_is_live(use_gru):
+    """The GRU variant must carry memory across the history frames: a change
+    to the OLDEST frame reaches the policy output through the recurrent
+    latent (reference ppo_cse_cnn actor_critic.py:100-105,179-198), whereas
+    the MLP-encoder variant consumes only the LAST frame and must be exactly
+    invariant to older frames."""
+    num_obs, num_priv, num_actions, H = 261, 8, 12, 3
+    ac = ActorCriticCNN(num_obs=num_obs, num_privileged_obs=num_priv,
+                        num_obs_history=H * num_obs, num_actions=num_actions,
+                        args=ACCnnArgs(use_cnn=True, use_gru=use_gru,
+                                       height_map_shape=(2, 10, 11)))
+    k = jax.random.key(0)
+    o = jax.random.normal(k, (2, num_obs))
+    p = jax.random.normal(k, (2, num_priv))
+    h = jax.random.normal(k, (2, H * num_obs))
+    params = ac.init(jax.random.key(1), o, p, h)
+    h2 = h.at[:, :num_obs].add(1.0)   # perturb the oldest frame only
+    m0, _ = ac.apply(params, o, p, h, method=ac.action_dist)
+    m1, _ = ac.apply(params, o, p, h2, method=ac.action_dist)
+    diff = float(jnp.max(jnp.abs(m0 - m1)))
+    if use_gru:
+        assert diff > 1e-6, "GRU latent ignored the oldest history frame"
+    else:
+        assert diff == 0.0, "MLP-encoder variant must use only the last frame"
