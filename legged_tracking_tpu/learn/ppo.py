@@ -117,7 +117,9 @@ class PPO:
         # each other (e.g. obs_history == obs for history length 1; XLA may
         # alias identical outputs of the producing jit) and donating an aliased
         # buffer twice is an XLA error.
-        self._train_iteration = jax.jit(self.train_iteration, donate_argnums=(0,))
+        self._train_iteration = jax.jit(self.train_iteration,
+                                        donate_argnums=(0,),
+                                        static_argnames=("update_model",))
         # critic-only warmup (resume-shock mitigation, TRAINING_NOTES.md):
         # value-loss-only updates restricted to the critic head so a resumed
         # value function can re-fit the fresh env distribution before any
@@ -443,7 +445,11 @@ class PPO:
                                       warmup_opt_state)
 
     # ------------------------------------------------------- one iteration
-    def train_iteration(self, train_state: TrainState, env_state, obs_dict, key):
+    def train_iteration(self, train_state: TrainState, env_state, obs_dict,
+                        key, update_model: bool = True):
+        """One rollout (+ update unless ``update_model`` is False — the
+        reference's --freeze_model data-collection mode, scripts/train.py:278
+        -> ppo_cse/__init__.py:176)."""
         k_roll, k_update = jax.random.split(key)
         env_state, last_obs, traj, roll_metrics, obs_rms = self.rollout(
             train_state.params, env_state, obs_dict, k_roll,
@@ -461,9 +467,16 @@ class PPO:
             last_values = last_values[:self.n_train]
         else:
             traj_train = traj
-        returns, advantages = self.compute_gae(traj_train, last_values)
-        train_state, metrics = self.update(train_state, traj_train, returns,
-                                           advantages, k_update)
+        if update_model:
+            returns, advantages = self.compute_gae(traj_train, last_values)
+            train_state, metrics = self.update(train_state, traj_train,
+                                               returns, advantages, k_update)
+        else:
+            z = jnp.zeros(())
+            metrics = {"value_loss": z, "surrogate_loss": z,
+                       "adaptation_loss": z, "adaptation_test_loss": z,
+                       "kl_mean": z,
+                       "learning_rate": train_state.learning_rate}
         if self.normalize_obs:
             train_state = train_state._replace(obs_rms=obs_rms)
 
@@ -496,8 +509,10 @@ class PPO:
             ep_metrics(slice(self.n_train, None), prefix="eval_")
         return train_state, env_state, last_obs, metrics
 
-    def train_iteration_jit(self, train_state, env_state, obs_dict, key):
-        return self._train_iteration(train_state, env_state, obs_dict, key)
+    def train_iteration_jit(self, train_state, env_state, obs_dict, key,
+                            update_model: bool = True):
+        return self._train_iteration(train_state, env_state, obs_dict, key,
+                                     update_model=update_model)
 
     # ------------------------------------------------------------ policies
     def act_inference(self, params, obs, obs_history):

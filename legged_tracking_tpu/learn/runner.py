@@ -153,12 +153,17 @@ class Runner:
 
     # ----------------------------------------------------------------- loop
     def learn(self, num_learning_iterations: int, eval_freq: int = 100,
-              verbose: bool = True, profile_dir: str | None = None):
+              verbose: bool = True, profile_dir: str | None = None,
+              update_model: bool = True):
         """Drive training iterations.
 
         profile_dir: capture a jax.profiler device trace of iterations 10-13
         (the TPU-native replacement for the reference's commented-out
         wall-clock probes, legged_robot_trajectory_tracking.py:79-105).
+        update_model=False rolls out WITHOUT updating (reference
+        --freeze_model, scripts/train.py:278 -> ppo_cse/__init__.py:176):
+        episodic metrics log as usual, the PPO update, curriculum
+        advancement and periodic checkpoints are skipped.
         """
         env = self.env
         cfg = env.cfg
@@ -187,7 +192,8 @@ class Runner:
             self.key, k = jax.random.split(self.key)
             self.train_state, self.env_state, self.obs_dict, metrics = \
                 self.alg.train_iteration_jit(self.train_state, self.env_state,
-                                             self.obs_dict, k)
+                                             self.obs_dict, k,
+                                             update_model=update_model)
             self.tot_timesteps += steps_per_iter
 
             video = metrics.pop("video", None)
@@ -207,7 +213,7 @@ class Runner:
             # outcome into a 4000-deep deque at reset time; gating this on the
             # log branch made the window fill log_freq x slower.  Cost: one
             # 2-scalar device fetch per iteration.
-            if cfg.curriculum_thresholds.cl_fix_target:
+            if cfg.curriculum_thresholds.cl_fix_target and update_model:
                 n_eps = int(metrics["num_episodes"])
                 if n_eps > 0:
                     self._reached_window.extend(
@@ -282,7 +288,8 @@ class Runner:
                     with open(os.path.join(self.logdir, "metrics.jsonl"), "a") as f:
                         f.write(json.dumps(rec) + "\n")
 
-            if self.logdir and (it % self.runner_args.save_interval == 0) and it > 0:
+            if (self.logdir and update_model
+                    and (it % self.runner_args.save_interval == 0) and it > 0):
                 self.save(os.path.join(self.logdir, f"ac_weights_{it:06d}.pkl"))
                 self.save(os.path.join(self.logdir, "ac_weights_last.pkl"))
 

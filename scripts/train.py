@@ -347,7 +347,8 @@ def main(args):
             runner.train_state.params)
         runner.train_state = runner.train_state._replace(params=params)
     history = runner.learn(num_learning_iterations=args.iterations,
-                           profile_dir=args.profile_dir)
+                           profile_dir=args.profile_dir,
+                           update_model=not args.freeze_model)
     return history
 
 
@@ -417,6 +418,9 @@ def parse_args(argv=None):
                         "policy, excluded from PPO updates")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--profile_dir", type=str, default=None)
+    # rollout-only data collection / large-scale eval of a resumed policy
+    # (reference scripts/train.py:278,293)
+    p.add_argument("--freeze_model", action="store_true")
     p.add_argument("--save_video_interval", type=int, default=0,
                    help="render an env0 training video every N iterations "
                         "(reference RunnerArgs.save_video_interval)")

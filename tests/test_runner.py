@@ -81,3 +81,16 @@ def test_runner_num_devices_path():
     assert len(hist) >= 1
     assert np.isfinite(hist[-1]["value_loss"])
     assert np.isfinite(hist[-1].get("rew_total", 0.0))
+
+
+def test_freeze_model_rolls_out_without_updating():
+    """--freeze_model parity (reference scripts/train.py:278 ->
+    ppo_cse/__init__.py:176): rollout-only iterations leave params and
+    optimizer state bitwise untouched while episodic metrics still flow."""
+    r = _runner(make_env())
+    before = jax.tree.map(np.asarray, r.train_state.params)
+    r.learn(2, verbose=False, update_model=False)
+    after = jax.tree.map(np.asarray, r.train_state.params)
+    jax.tree.map(np.testing.assert_array_equal, before, after)
+    assert r.history and r.history[-1]["value_loss"] == 0.0
+    assert np.isfinite(r.history[-1]["episode_length_mean"])
