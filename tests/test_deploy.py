@@ -163,6 +163,51 @@ def test_camera_decode():
         camera_message_rect_wide.decode(msg.encode())
 
 
+def test_velocity_agent_obs():
+    """15-dim RC command path (scripts/deploy_policy.py): LCMAgent with the
+    velocity-task config must assemble the reference's 70-dim walk-these-ways
+    observation and advance the gait clock (reference deploy_policy.py:33,
+    lcm_agent get_obs)."""
+    from legged_tracking_tpu.config import Cfg, config_go1
+    from legged_tracking_tpu.deploy.command_profiles import RCControllerProfile
+    from legged_tracking_tpu.deploy.lcm_agent import LCMAgent
+    from legged_tracking_tpu.deploy.state_estimator import StateEstimator
+
+    cfg = config_go1(Cfg())
+    cfg.env.observe_heights = False
+    cfg.terrain.measure_heights = False
+    cfg.env.observe_vel = False
+    cfg.env.observe_yaw = False
+    cfg.env.observe_two_prev_actions = True
+    cfg.env.observe_clock_inputs = True
+    cfg.env.command_type = "velocity"
+    cfg.commands.num_commands = 15
+    cfg.parse()
+
+    class _FakeLC:
+        def subscribe(self, ch, cb):
+            pass
+
+        def publish(self, ch, data):
+            pass
+
+    se = StateEstimator(_FakeLC())
+    se.left_stick = np.array([0.0, 0.5])      # forward command
+    profile = RCControllerProfile(cfg.control.decimation * cfg.sim.dt, se,
+                                  x_scale=2.0, y_scale=0.6, yaw_scale=1.0)
+    agent = LCMAgent(cfg, se, profile, _FakeLC())
+    obs = agent.get_obs()
+    assert obs.shape == (1, 70), obs.shape     # reference 70-dim layout
+    assert np.isfinite(obs).all()
+    # x command scaled by x_scale through the profile
+    assert agent.commands[0, 0] == pytest.approx(1.0)
+    # gait clock advances between observations
+    clock0 = agent.clock_inputs.copy()
+    agent.timestep += 1
+    agent.get_obs()
+    assert not np.allclose(agent.clock_inputs, clock0)
+
+
 def test_planner_goal_profile():
     """Planner-in-the-loop deploy profile: replans around an obstacle on a
     synthetic scanned elevation map and emits body-frame goal commands."""
