@@ -32,6 +32,14 @@ _ACT = {
 class ACArgs:
     """AC_Args parity (ppo_cse/actor_critic.py:10-20)."""
     init_noise_std: float = 1.0
+    # Optional exploration-noise ceiling (deliberate divergence from the
+    # reference, which has none): the entropy bonus inflates the learned
+    # state-independent std while KL ∝ 1/σ² shrinks, so the adaptive-KL
+    # controller keeps RAISING lr — a positive-feedback loop that collapsed
+    # the published goal recipe at ~it5200 (std 1.0→9.7,
+    # docs/TRAINING_NOTES.md). A ceiling saturates the entropy bonus and
+    # breaks the loop; None preserves exact reference semantics.
+    max_noise_std: float | None = None
     actor_hidden_dims: Sequence[int] = (512, 256, 128)
     critic_hidden_dims: Sequence[int] = (512, 256, 128)
     activation: str = "elu"
@@ -88,7 +96,7 @@ class ActorCriticCSE(nn.Module):
         privileged_obs are unused (protocol shared with the RMA variant)."""
         latent = self.adaptation_module(obs_history)
         mean = self.actor_body(jnp.concatenate([obs_history, latent], axis=-1))
-        return mean, jnp.maximum(jnp.abs(self.std), 1e-3)
+        return mean, clamp_std(self.std, self.args)
 
     def act_student(self, obs, obs_history):
         """Deterministic deployment policy (act_student, :144-148)."""
@@ -101,6 +109,16 @@ class ActorCriticCSE(nn.Module):
     def evaluate(self, obs, privileged_obs, obs_history):
         v = self.critic_body(jnp.concatenate([obs_history, privileged_obs], axis=-1))
         return v[..., 0]
+
+
+def clamp_std(std, args):
+    """Floor (numerics) and optional ceiling (ACArgs.max_noise_std) for the
+    learned state-independent exploration std. Beyond the ceiling the clip
+    gradient is zero, so the entropy bonus stops inflating the parameter."""
+    s = jnp.maximum(jnp.abs(std), 1e-3)
+    if getattr(args, "max_noise_std", None) is not None:
+        s = jnp.minimum(s, args.max_noise_std)
+    return s
 
 
 def normal_log_prob(mean, std, actions):

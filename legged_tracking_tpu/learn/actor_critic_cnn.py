@@ -23,12 +23,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .actor_critic import _ACT, MLP
+from .actor_critic import _ACT, MLP, clamp_std
 
 
 @dataclass
 class ACCnnArgs:
     init_noise_std: float = 1.0
+    max_noise_std: float | None = None   # see ACArgs.max_noise_std
     actor_hidden_dims: Sequence[int] = (512, 256, 128)
     critic_hidden_dims: Sequence[int] = (512, 256, 128)
     activation: str = "elu"
@@ -127,7 +128,7 @@ class ActorCriticCNN(nn.Module):
         pin = self.process_obs_history(obs_history)
         latent = self.adaptation_module(pin)
         mean = self.actor_body(jnp.concatenate([pin, latent], axis=-1))
-        return mean, jnp.maximum(jnp.abs(self.std), 1e-3)
+        return mean, clamp_std(self.std, self.args)
 
     def act_student(self, obs, obs_history):
         pin = self.process_obs_history(obs_history)

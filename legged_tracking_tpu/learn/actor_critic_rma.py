@@ -17,13 +17,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .actor_critic import MLP
+from .actor_critic import MLP, clamp_std
 
 
 @dataclass
 class ACRmaArgs:
     """AC_Args parity (ppo/actor_critic.py:10-28)."""
     init_noise_std: float = 1.0
+    max_noise_std: float | None = None   # see ACArgs.max_noise_std
     actor_hidden_dims: Sequence[int] = (512, 256, 128)
     critic_hidden_dims: Sequence[int] = (512, 256, 128)
     activation: str = "elu"
@@ -60,7 +61,7 @@ class ActorCriticRMA(nn.Module):
         """Teacher distribution (update_distribution, ppo/actor_critic.py:145-149)."""
         latent = self.env_factor_encoder(privileged_obs)
         mean = self.actor_body(jnp.concatenate([obs, latent], axis=-1))
-        return mean, jnp.maximum(jnp.abs(self.std), 1e-3)
+        return mean, clamp_std(self.std, self.args)
 
     def act_student(self, obs, obs_history):
         latent = self.adaptation_module(obs_history)

@@ -223,6 +223,110 @@ def shortcut(path, valid, objective: str = "pathlength", pose_cost=None,
     return np.stack(path)
 
 
+def _segment_cost(a, b, objective: str, pose_cost) -> float:
+    return path_cost(np.stack([a, b]), objective, pose_cost)
+
+
+def plan_star(elevation_map, start, goal, horizontal_scale,
+              max_iters: int = 2000, step_size: float = 0.15,
+              goal_bias: float = 0.2, seed: int = 0,
+              objective: str = "pathlength",
+              pose_cost: PoseCostGrid | None = None,
+              gamma: float = 1.5):
+    """Asymptotically-optimal RRT* over (x, y, z, yaw) with the same
+    optimization objectives the reference gives OMPL's RRT*/PRM*/BIT*
+    (reference planner.py:156-228,405-424): choose-parent and rewire both
+    minimize cost-to-come under ``objective``, with the near-radius
+    shrinking as gamma * (log n / n)^(1/4).
+
+    Returns (path (L,4), cost) or (None, inf). Unlike ``plan`` (feasible
+    RRT + objective-improving shortcut), this keeps optimizing the tree
+    after the first goal connection, so the returned cost is monotonically
+    non-increasing in max_iters.
+    """
+    rng = np.random.RandomState(seed)
+    hs = horizontal_scale
+    nx, ny = elevation_map.shape[1:]
+    lo = np.array([0.0, 0.0, 0.05, -np.pi])
+    hi = np.array([nx * hs, ny * hs, 0.6, np.pi])
+
+    start = np.asarray(start, dtype=np.float64)
+    goal = np.asarray(goal, dtype=np.float64)
+
+    def valid(p):
+        return _pose_valid(elevation_map, hs, p[0], p[1], p[2], p[3])
+
+    if not valid(start):
+        return None, float("inf")
+
+    nodes = [start]
+    parents = [-1]
+    costs = [0.0]           # cost-to-come under the objective
+    goal_ids = []           # nodes within connection range of the goal
+
+    for _ in range(max_iters):
+        target = goal if rng.rand() < goal_bias else rng.uniform(lo, hi)
+        pts = np.stack(nodes)
+        d = np.linalg.norm(pts[:, :3] - target[:3], axis=1)
+        ni = int(np.argmin(d))
+        near = nodes[ni]
+        direction = target - near
+        dist = np.linalg.norm(direction[:3])
+        if dist < 1e-6:
+            continue
+        new = near + direction * min(step_size / dist, 1.0)
+        new[3] = np.arctan2(np.sin(new[3]), np.cos(new[3]))
+        if not valid(new):
+            continue
+        n = len(nodes)
+        radius = max(step_size, gamma * (np.log(n + 1) / (n + 1)) ** 0.25)
+        dn = np.linalg.norm(pts[:, :3] - new[:3], axis=1)
+        near_ids = np.flatnonzero(dn <= radius)
+        # choose parent: minimal cost-to-come among reachable near nodes
+        best_p, best_c = ni, costs[ni] + _segment_cost(near, new, objective,
+                                                       pose_cost)
+        for j in near_ids:
+            if j == ni:
+                continue
+            c = costs[j] + _segment_cost(nodes[j], new, objective, pose_cost)
+            if c < best_c and _segment_valid(valid, nodes[j], new):
+                best_p, best_c = int(j), c
+        if best_p == ni and not _segment_valid(valid, near, new):
+            continue
+        nodes.append(new)
+        parents.append(best_p)
+        costs.append(best_c)
+        new_id = len(nodes) - 1
+        # rewire the neighborhood through the new node
+        for j in near_ids:
+            c = best_c + _segment_cost(new, nodes[j], objective, pose_cost)
+            if c < costs[j] and _segment_valid(valid, new, nodes[j]):
+                parents[j] = new_id
+                costs[j] = c
+        if np.linalg.norm(new[:3] - goal[:3]) < step_size and \
+                _segment_valid(valid, new, goal):
+            goal_ids.append(new_id)
+
+    if not goal_ids:
+        return None, float("inf")
+
+    # rewiring can leave descendant costs-to-come stale, so score each goal
+    # connection by walking its current ancestry and summing fresh segment
+    # costs (equivalently: path_cost of the extracted path)
+    def extract(j):
+        path = [goal]
+        k = j
+        while k >= 0:
+            path.append(nodes[k])
+            k = parents[k]
+        return np.stack(path[::-1])
+
+    cands = [extract(j) for j in goal_ids]
+    totals = [path_cost(p, objective, pose_cost) for p in cands]
+    k = int(np.argmin(totals))
+    return cands[k], float(totals[k])
+
+
 def plan(elevation_map, start, goal, horizontal_scale, max_iters: int = 2000,
          step_size: float = 0.15, goal_bias: float = 0.2, seed: int = 0,
          objective: str = "pathlength", pose_cost: PoseCostGrid | None = None,

@@ -315,7 +315,8 @@ def main(args):
             args=ACCnnArgs(use_cnn=args.cnn, use_gru=args.gru,
                            height_map_shape=(2, nx, ny),
                            normalize_obs=args.normalize_obs,
-                           critic_detach_encoder=args.critic_detach_encoder))
+                           critic_detach_encoder=args.critic_detach_encoder,
+                           max_noise_std=args.max_noise_std))
 
     ppo_args = PPOArgs(learning_rate=args.learning_rate, gamma=args.gamma,
                        num_steps_per_env=args.num_steps_per_env,
@@ -333,7 +334,8 @@ def main(args):
         wandb.init(project="legged_tracking_tpu", config=vars(args),
                    name=args.name, dir=args.logdir)
     runner = Runner(env, runner_args=runner_args, ppo_args=ppo_args,
-                    ac_args=ACArgs(normalize_obs=args.normalize_obs),
+                    ac_args=ACArgs(normalize_obs=args.normalize_obs,
+                                   max_noise_std=args.max_noise_std),
                     logdir=args.logdir, log_wandb=args.wandb,
                     seed=args.seed, ac=ac, num_devices=args.num_devices)
     if args.reset_action_std is not None:
@@ -380,6 +382,11 @@ def parse_args(argv=None):
     p.add_argument("--critic_detach_encoder", action="store_true",
                    help="stop the value gradient at the shared height-map "
                         "encoder (CNN/GRU policies)")
+    p.add_argument("--max_noise_std", type=float, default=None,
+                   help="ceiling on the learned exploration std (breaks the "
+                        "entropy/adaptive-KL std-inflation loop that collapsed "
+                        "the goal recipe at ~it5200; None = reference "
+                        "semantics, no ceiling)")
     p.add_argument("--reset_action_std", type=float, default=None,
                    help="on resume, reset the policy std parameter to this "
                         "value (deflates entropy-driven std inflation)")

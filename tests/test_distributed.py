@@ -69,3 +69,33 @@ def test_sharded_train_iteration():
     # params remain replicated and identical across devices
     leaf = jax.tree.leaves(ts2.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_update_path_invariance():
+    """K full train iterations on 1 device vs sharded over 8 produce the
+    same parameters (up to cross-device psum reduction order). This is the
+    update-path extension of the rollout invariance above: GAE, minibatch
+    permutation and optimizer steps must not depend on the layout."""
+    from legged_tracking_tpu.learn import PPO, PPOArgs
+
+    env = make_env()
+    alg = PPO(env, args=PPOArgs(num_steps_per_env=4, num_mini_batches=2,
+                                num_learning_epochs=2))
+
+    def run(n_devices):
+        mesh = make_mesh(n_devices)
+        ts = replicate(alg.init(jax.random.key(0)), mesh)
+        es = shard_batch(env.reset_fn(jax.random.key(1), False), 8, mesh)
+        obs = shard_batch(jax.jit(env.observe)(es), 8, mesh)
+        key = jax.random.key(2)
+        for _ in range(2):
+            key, k = jax.random.split(key)
+            ts, es, obs, _ = alg.train_iteration_jit(ts, es, obs, k)
+        return ts.params
+
+    p1 = run(1)
+    p8 = run(8)
+    flat1, flat8 = jax.tree.leaves(p1), jax.tree.leaves(p8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-3)

@@ -90,3 +90,37 @@ def test_objective_shapes_plan():
             <= path_cost(raw, "trackingerror", grid) + 1e-9)
     assert (path_cost(p_bal, "balanced", grid)
             <= path_cost(raw, "balanced", grid) + 1e-9)
+
+
+def test_plan_star_optimizes_objective():
+    """RRT* (plan_star) must globally optimize the tracking-error objective
+    the reference hands to OMPL's optimizing planners (planner.py:156-228):
+    with a pose-cost grid favoring z=0.2, the rewired tree routes through
+    cheap z while feasible-RRT + shortcut (which can only delete waypoints,
+    not move them) stays near the expensive start/goal height."""
+    from legged_tracking_tpu.utils.planner import (PoseCostGrid, path_cost,
+                                                   plan, plan_star)
+
+    emap, hs = make_tunnel()
+    n = 26
+    z = np.linspace(0.05, 0.6, n)
+    cost = np.broadcast_to(((z - 0.2) ** 2 * 10)[:, None, None],
+                           (n, n, n)).copy()
+    pc = PoseCostGrid(cost, lo=[0.05, -0.5, -0.5], hi=[0.6, 0.5, 0.5])
+    start = np.array([0.3, 0.75, 0.27, 0.0])
+    goal = np.array([2.6, 0.75, 0.27, 0.0])
+
+    p_rrt = plan(emap, start, goal, hs, seed=0, objective="trackingerror",
+                 pose_cost=pc)
+    c_rrt = path_cost(p_rrt, "trackingerror", pc)
+    p_star, c_star = plan_star(emap, start, goal, hs, seed=0, max_iters=1200,
+                               objective="trackingerror", pose_cost=pc)
+    assert p_star is not None
+    # endpoints preserved
+    np.testing.assert_allclose(p_star[0], start)
+    np.testing.assert_allclose(p_star[-1], goal)
+    # measured on this map/seed: 1.07 vs 11.27 — require a robust 2x margin
+    assert c_star < 0.5 * c_rrt, (c_star, c_rrt)
+    # pathlength objective: within 5% of the straight-line optimum
+    p2, c2 = plan_star(emap, start, goal, hs, seed=0, max_iters=1200)
+    assert c2 < 1.05 * np.linalg.norm(goal[:3] - start[:3])

@@ -144,3 +144,26 @@ def test_gae_matches_reference_recursion():
     a = ret_np - values
     a = (a - a.mean()) / (a.std() + 1e-8)
     assert np.allclose(np.asarray(norm_adv), a, atol=1e-4)
+
+
+def test_std_ceiling_breaks_inflation_loop():
+    """ACArgs.max_noise_std caps the exploration std even under an
+    entropy-dominated objective (the std-inflation loop that collapsed the
+    goal recipe at ~it5200, docs/TRAINING_NOTES.md)."""
+    from legged_tracking_tpu.learn.actor_critic import ACArgs
+
+    env = make_env()
+    alg = PPO(env, ac_args=ACArgs(max_noise_std=1.1),
+              args=PPOArgs(num_steps_per_env=4, num_mini_batches=2,
+                           num_learning_epochs=2, entropy_coef=10.0))
+    ts = alg.init(jax.random.key(0))
+    env_state = env.reset_fn(jax.random.key(1), False)
+    obs = jax.jit(env.observe)(env_state)
+    key = jax.random.key(2)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        ts, env_state, obs, metrics = alg.train_iteration_jit(
+            ts, env_state, obs, k)
+    # effective (clamped) std saturates at the ceiling instead of inflating
+    assert float(metrics["action_std_mean"]) <= 1.1 + 1e-5
+    assert bool(jnp.isfinite(metrics["value_loss"]))
