@@ -235,27 +235,29 @@ def sample_patch_bilinear(patch, xs, ys, hs, h, w, env_terrain_origin, points_xy
     # surrounding float32 scope would otherwise run these as multi-pass
     # emulation; these einsums dominate the rollout (CLAUDE.md perf log).
     #
-    # The value/derivative weights are STACKED so the whole sampling is two
-    # MXU ops instead of five: stage 1's M grows 48->96, which is free (the
-    # MXU pads M to 128 either way — each separate einsum paid the same full
-    # pass; device trace: 413+346 us/substep for the two stage-1 matmuls at
-    # 4096 envs), and stage 2 fuses its three K=PATCH reductions into one
-    # batched (4,PATCH)@(PATCH,2) dot (was 267+179+179 us).  Contractions,
-    # operand order and f32 accumulation are unchanged per output element.
-    W2x = jnp.stack([Wx, dWx])                                  # (2, P, PATCH)
-    W2y = jnp.stack([Wy, dWy])
+    # NOTE on op count: a round-2 attempt stacked these five contractions
+    # into two ("kpx,lxy->klpy" + "klpy,mpy->pklm") based on per-op trace
+    # times; the MEASURED result was a 32% throughput regression (275.7k ->
+    # 187.2k env-steps/s at the bench config — the stacked stage 2's pklm
+    # output layout forces a relayout of the (n,2,2,P,PATCH) intermediate
+    # every substep). Reverted to the separable form; commit 577bd0b holds
+    # the A/B details.
     with jax.default_matmul_precision("bfloat16"):
-        A2 = jnp.einsum("kpx,lxy->klpy", W2x, patch,
-                        preferred_element_type=jnp.float32)     # (2, 2, P, PATCH)
-        # bf16 intermediate: stage 2 rounds its operands to bf16 at the MXU
+        A = jnp.einsum("px,lxy->lpy", Wx, patch,
+                       preferred_element_type=jnp.float32)      # (2, P, PATCH)
+        Ax = jnp.einsum("px,lxy->lpy", dWx, patch,
+                        preferred_element_type=jnp.float32)
+        # bf16 intermediates: stage 2 rounds its operands to bf16 at the MXU
         # regardless, so this round-once storage is value-identical on TPU
         # and halves the largest sampling intermediate's HBM traffic
-        A2 = A2.astype(jnp.bfloat16)
-        out = jnp.einsum("klpy,mpy->pklm", A2, W2y,
-                         preferred_element_type=jnp.float32)    # (P, 2, 2, 2)
-    height = out[:, 0, :, 0]                                     # Wx·patch·Wy
-    dhdx = out[:, 1, :, 0]                                       # dWx·patch·Wy
-    dhdy = out[:, 0, :, 1]                                       # Wx·patch·dWy
+        A = A.astype(jnp.bfloat16)
+        Ax = Ax.astype(jnp.bfloat16)
+        height = jnp.einsum("lpy,py->pl", A, Wy,
+                            preferred_element_type=jnp.float32)  # (P, 2)
+        dhdx = jnp.einsum("lpy,py->pl", Ax, Wy,
+                          preferred_element_type=jnp.float32)
+        dhdy = jnp.einsum("lpy,py->pl", A, dWy,
+                          preferred_element_type=jnp.float32)
     return height, jnp.stack([dhdx, dhdy], axis=-1)             # (P,2), (P,2,2)
 
 
