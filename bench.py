@@ -55,10 +55,10 @@ def build(num_envs=None, lane_engine=None):
     cfg.commands.traj_length = 1
     cfg.commands.switch_dist = 0.3
     cfg.commands.base_x = 2.6
-    # lane-major physics path (physics/lanes.py); BENCH_LANE=1 to A/B it
-    # against the proven env-major engine (default until measured on-chip)
+    # lane-major physics path (physics/lanes.py) is the measured default
+    # (round-3 A/B: 304.9k vs 301.2k); BENCH_LANE=0 re-runs the env-major A/B
     if lane_engine is None:
-        lane_engine = os.environ.get("BENCH_LANE", "0") == "1"
+        lane_engine = os.environ.get("BENCH_LANE", "1") == "1"
     cfg.sim.lane_engine = lane_engine
 
     env = LeggedEnv(cfg)

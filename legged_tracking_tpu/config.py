@@ -464,8 +464,11 @@ class SimCfg:
     joint_limit_damping: float = 2.0
     max_depenetration_velocity: float = 1.0
     # lane-major (env-minor) physics layout: same math, env batch on the TPU
-    # lane axis (physics/lanes.py) — large fusions run at full VPU occupancy
-    lane_engine: bool = False
+    # lane axis (physics/lanes.py) — elementwise chains run at full VPU
+    # occupancy. Default ON since the round-3 on-chip A/B (304.9k vs 301.2k
+    # env-steps/s at the 4096-env bench); the vmapped env-major path stays
+    # as the readable semantic oracle for equivalence tests.
+    lane_engine: bool = True
 
 
 @dataclass
