@@ -60,6 +60,9 @@ def build(num_envs=None, lane_engine=None):
     if lane_engine is None:
         lane_engine = os.environ.get("BENCH_LANE", "1") == "1"
     cfg.sim.lane_engine = lane_engine
+    # fused contact sampling A/B knob (heightfield.sample_patch_bilinear_fused)
+    cfg.sim.fused_sampling = os.environ.get(
+        "BENCH_FUSED", "1" if cfg.sim.fused_sampling else "0") == "1"
 
     env = LeggedEnv(cfg)
     alg = PPO(env, args=PPOArgs())

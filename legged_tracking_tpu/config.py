@@ -469,6 +469,11 @@ class SimCfg:
     # env-steps/s at the 4096-env bench); the vmapped env-major path stays
     # as the readable semantic oracle for equivalence tests.
     lane_engine: bool = True
+    # fused contact sampling (lane engine only): relayout the terrain patch
+    # once per control step (transpose_patch) so each substep's bilinear
+    # sampling is 1 MXU matmul + 2 batched dots instead of 5 contractions
+    # (heightfield.sample_patch_bilinear_fused). Default pending on-chip A/B.
+    fused_sampling: bool = False
 
 
 @dataclass

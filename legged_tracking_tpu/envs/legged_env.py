@@ -355,9 +355,17 @@ class LeggedEnv:
         patch, xs, ys = extract_patches_batched(
             self.terrain, self.terrain.env_tile, self.terrain.env_terrain_origin,
             base_pos[:, :2], self._scan_patch_x, self._scan_patch_y)
-        h = jax.vmap(sample_patch_nearest,
-                     in_axes=(0, 0, 0, None, None, None, 0, 0))(
-            patch, xs, ys, hs, th, tw, self.terrain.env_terrain_origin, pts)
+        if cfg.sim.fused_sampling:
+            from ..terrain.heightfield import (sample_patch_nearest_fused,
+                                               transpose_patch)
+            h = jax.vmap(sample_patch_nearest_fused,
+                         in_axes=(0, 0, 0, None, None, None, 0, 0))(
+                transpose_patch(patch), xs, ys, hs, th, tw,
+                self.terrain.env_terrain_origin, pts)
+        else:
+            h = jax.vmap(sample_patch_nearest,
+                         in_axes=(0, 0, 0, None, None, None, 0, 0))(
+                patch, xs, ys, hs, th, tw, self.terrain.env_terrain_origin, pts)
         h = jnp.moveaxis(h, -1, 1).reshape(N, 2, nx, ny)
         return h
 
@@ -467,7 +475,8 @@ class LeggedEnv:
                 self._torque_fn_lanes, carry0, params,
                 cfg.sim.dt, cfg.control.decimation,
                 cfg.sim.contact_stiffness, cfg.sim.contact_damping,
-                cfg.sim.joint_limit_stiffness, cfg.sim.joint_limit_damping)
+                cfg.sim.joint_limit_stiffness, cfg.sim.joint_limit_damping,
+                fused_sampling=cfg.sim.fused_sampling)
         else:
             def one_env(phys, carry, p, patch, torigin):
                 return control_step(

@@ -267,7 +267,8 @@ class VelocityTrackingEnv(LeggedEnv):
                 self._torque_fn_lanes, carry0, params,
                 cfg.sim.dt, cfg.control.decimation,
                 cfg.sim.contact_stiffness, cfg.sim.contact_damping,
-                cfg.sim.joint_limit_stiffness, cfg.sim.joint_limit_damping)
+                cfg.sim.joint_limit_stiffness, cfg.sim.joint_limit_damping,
+                fused_sampling=cfg.sim.fused_sampling)
         else:
             def one_env(phys, carry, p, patch, torigin):
                 return control_step(

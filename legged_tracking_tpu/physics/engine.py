@@ -174,14 +174,23 @@ def control_step_lanes(
     contact_damping: float,
     joint_limit_stiffness: float,
     joint_limit_damping: float,
+    fused_sampling: bool = False,
 ) -> tuple:
     """Whole-batch control step in the lane-major layout (physics/lanes.py):
     env-major state in/out, everything between transposed so the env batch
     rides the 128-wide lane axis.  Same decimation/staleness semantics as
     :func:`control_step` (factorization + apparent masses computed once per
-    control step, world inertias refreshed per substep)."""
+    control step, world inertias refreshed per substep).
+
+    ``fused_sampling`` relayouts the terrain patch ONCE here (layer axis
+    into the columns, terrain.transpose_patch) so every substep's contact
+    sampling runs as a single MXU matmul (sample_patch_bilinear_fused)."""
     to_lanes = lambda t: jax.tree.map(lambda a: jnp.moveaxis(a, 0, -1), t)
     to_envs = lambda t: jax.tree.map(lambda a: jnp.moveaxis(a, -1, 0), t)
+
+    if fused_sampling:
+        from ..terrain.heightfield import transpose_patch
+        patches = transpose_patch(patches)                  # (N, px, 2*py)
 
     bp, bq, qj, v = (state.base_pos.T, state.base_quat.T,
                      state.qj.T, state.v.T)
@@ -210,7 +219,8 @@ def control_step_lanes(
             c = lanes.contact_forces(
                 model, terrain, patches, xs, ys, env_terrain_origin, bs, W0,
                 params.friction, params.restitution,
-                contact_stiffness, contact_damping, sim_dt)
+                contact_stiffness, contact_damping, sim_dt,
+                fused_sampling=fused_sampling)
             tau_total = tau + lanes.joint_limit_torque(
                 model, qj, v[6:], joint_limit_stiffness, joint_limit_damping)
             qdd = lanes.forward_dynamics(model, v, tau_total, c.f_ext,

@@ -529,15 +529,20 @@ def _quadform(W, v):
 def contact_forces(model: Go1Model, terrain, patches_em, xs_em, ys_em,
                    env_origin_em, bs: BodyStateL, W,
                    friction, restitution, stiffness, damping, dt,
-                   max_depenetration_velocity: float = 1.0) -> ContactOutL:
+                   max_depenetration_velocity: float = 1.0,
+                   fused_sampling: bool = False) -> ContactOutL:
     """Lane-major mirror of contact.contact_forces:75-185.
 
     ``patches_em``/``xs_em``/``ys_em``/``env_origin_em`` are the env-major
     per-env terrain windows; the bilinear sampling runs in its proven
     env-major MXU formulation with transposes at the boundary.
-    ``friction``/``restitution`` are (E,).
+    ``friction``/``restitution`` are (E,).  With ``fused_sampling``,
+    ``patches_em`` must be the (N, px, 2*py) transpose_patch layout and the
+    sampling island runs sample_patch_bilinear_fused (1 MXU matmul + 2
+    batched dots per substep instead of 5 contractions).
     """
-    from ..terrain.heightfield import sample_patch_bilinear
+    from ..terrain.heightfield import (sample_patch_bilinear,
+                                       sample_patch_bilinear_fused)
 
     f = bs.fk
     sbn = np.asarray(model.sphere_body)
@@ -557,8 +562,9 @@ def contact_forces(model: Go1Model, terrain, patches_em, xs_em, ys_em,
 
     # --- env-major MXU sampling island ---
     pts = jnp.transpose(p_s[:, :2], (2, 0, 1))                # (E, ns, 2)
+    sampler = sample_patch_bilinear_fused if fused_sampling else sample_patch_bilinear
     heights, grads = jax.vmap(
-        sample_patch_bilinear, in_axes=(0, 0, 0, None, None, None, 0, 0)
+        sampler, in_axes=(0, 0, 0, None, None, None, 0, 0)
     )(patches_em, xs_em, ys_em, terrain.horizontal_scale,
       terrain.tiles.shape[2], terrain.tiles.shape[3], env_origin_em, pts)
     h_ceil = heights[..., 0].T                                # (ns,E)

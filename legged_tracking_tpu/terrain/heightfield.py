@@ -196,6 +196,30 @@ def sample_patch_nearest(patch, xs, ys, hs, h, w, env_terrain_origin, points_xy)
                           preferred_element_type=jnp.float32)           # (P, 2)
 
 
+def sample_patch_nearest_fused(patch_z, xs, ys, hs, h, w, env_terrain_origin,
+                               points_xy):
+    """Nearest-cell heights from a (px, 2*py) transpose_patch window.
+
+    Fused analogue of sample_patch_nearest: the layer axis rides the
+    matmul's output columns, so the x-contraction is ONE MXU pass instead
+    of a 2-batched pair.  Returns (P, 2) [ceiling, floor].
+    """
+    px, py2 = patch_z.shape
+    py = py2 // 2
+    P = points_xy.shape[0]
+    local = (points_xy - env_terrain_origin[:2]) / hs
+    x0 = jnp.clip(jnp.clip(local[:, 0].astype(jnp.int32), 0, h - 2) - xs, 0, px - 1)
+    y0 = jnp.clip(jnp.clip(local[:, 1].astype(jnp.int32), 0, w - 2) - ys, 0, py - 1)
+    Hx = (jnp.arange(px)[None, :] == x0[:, None]).astype(patch_z.dtype)  # (P, px)
+    Hy = (jnp.arange(py)[None, :] == y0[:, None]).astype(patch_z.dtype)  # (P, py)
+    with jax.default_matmul_precision("bfloat16"):  # see sample_patch_bilinear
+        A = jnp.einsum("px,xz->pz", Hx, patch_z,
+                       preferred_element_type=jnp.float32)
+        A = A.astype(patch_z.dtype).reshape(P, 2, py)
+        return jnp.einsum("ply,py->pl", A, Hy,
+                          preferred_element_type=jnp.float32)            # (P, 2)
+
+
 def sample_patch_bilinear(patch, xs, ys, hs, h, w, env_terrain_origin, points_xy):
     """Bilinear heights + gradients from a robot-local patch — single env.
 
@@ -258,6 +282,80 @@ def sample_patch_bilinear(patch, xs, ys, hs, h, w, env_terrain_origin, points_xy
                           preferred_element_type=jnp.float32)
         dhdy = jnp.einsum("lpy,py->pl", A, dWy,
                           preferred_element_type=jnp.float32)
+    return height, jnp.stack([dhdx, dhdy], axis=-1)             # (P,2), (P,2,2)
+
+
+def transpose_patch(patch):
+    """(..., 2, px, py) -> (..., px, 2*py): the fused-sampling layout.
+
+    Column z = l*py + y merges the layer axis into the matmul's output
+    columns, so ONE (2P, px) @ (px, 2*py) MXU pass per env samples both
+    layers for values AND x-derivatives (sample_patch_bilinear_fused).
+    Done once per control step (the patch is substep-invariant); the
+    relayout cost amortizes over ``decimation`` substeps.
+    """
+    l, px, py = patch.shape[-3], patch.shape[-2], patch.shape[-1]
+    return jnp.swapaxes(patch, -3, -2).reshape(patch.shape[:-3] + (px, l * py))
+
+
+def sample_patch_bilinear_fused(patch_z, xs, ys, hs, h, w, env_terrain_origin,
+                                points_xy):
+    """Bilinear heights + gradients from a (px, 2*py) transposed patch.
+
+    Value-identical reformulation of sample_patch_bilinear with 1 MXU
+    matmul + 2 batched dots per call instead of 2 batched matmuls (x2 layer
+    batch = 4 MXU tile passes) + 3 batched dots:
+
+      - rows:    [Wx; dWx] (2P, px) — value and derivative interpolation
+        weights share the stage-1 contraction (2P = 96 <= 128 sublanes, so
+        the concatenated pass costs exactly one tile like each original op)
+      - columns: ceiling|floor side by side (2*py = 64 <= 128 lanes)
+
+    Output layouts stay natural (rows = points, columns = (layer, y)); the
+    only relayout is of the PATCH itself, done once per control step by
+    transpose_patch — unlike the reverted round-2 "stacked einsum" attempt
+    whose pklm intermediate relayouted every substep (CLAUDE.md perf log).
+
+    Returns (heights (P, 2) [ceiling, floor], grads (P, 2, 2) d h / d xy),
+    the exact contract of sample_patch_bilinear.
+    """
+    px, py2 = patch_z.shape
+    py = py2 // 2
+    P = points_xy.shape[0]
+    local = (points_xy - env_terrain_origin[:2]) / hs          # (P, 2)
+    x = jnp.clip(local[:, 0], 0.0, h - 1.001) - xs
+    y = jnp.clip(local[:, 1], 0.0, w - 1.001) - ys
+    x = jnp.clip(x, 0.0, px - 1.001)
+    y = jnp.clip(y, 0.0, py - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+
+    colsx = jnp.arange(px)[None, :]
+    at0x = (colsx == x0[:, None]).astype(jnp.float32)
+    at1x = (colsx == (x0 + 1)[:, None]).astype(jnp.float32)
+    colsy = jnp.arange(py)[None, :]
+    at0y = (colsy == y0[:, None]).astype(jnp.float32)
+    at1y = (colsy == (y0 + 1)[:, None]).astype(jnp.float32)
+    Wx = at0x * (1 - fx) + at1x * fx                            # (P, px)
+    dWx = (at1x - at0x) / hs
+    Wy = at0y * (1 - fy) + at1y * fy                            # (P, py)
+    dWy = (at1y - at0y) / hs
+
+    W2 = jnp.concatenate([Wx, dWx], axis=0)                     # (2P, px)
+    Wy2 = jnp.concatenate([Wy, Wy], axis=0)                     # (2P, py)
+    with jax.default_matmul_precision("bfloat16"):  # see sample_patch_bilinear
+        A2 = jnp.einsum("qx,xz->qz", W2, patch_z,
+                        preferred_element_type=jnp.float32)      # (2P, 2*py)
+        # round-once bf16 intermediate, as in the separable form
+        A2 = A2.astype(jnp.bfloat16).reshape(2 * P, 2, py)       # (q, l, y)
+        out = jnp.einsum("qly,qy->ql", A2, Wy2,
+                         preferred_element_type=jnp.float32)     # (2P, 2)
+        dhdy = jnp.einsum("ply,py->pl", A2[:P], dWy,
+                          preferred_element_type=jnp.float32)    # (P, 2)
+    height = out[:P]                                             # (P, 2)
+    dhdx = out[P:]
     return height, jnp.stack([dhdx, dhdy], axis=-1)             # (P,2), (P,2,2)
 
 

@@ -189,7 +189,9 @@ def main(args):
     runner = Runner(env, runner_args=RunnerArgs(
                         num_steps_per_env=args.num_steps_per_env,
                         resume=args.resume),
-                    ppo_args=ppo_args, ac_args=ACArgs(), logdir=args.logdir,
+                    ppo_args=ppo_args,
+                    ac_args=ACArgs(max_noise_std=args.max_noise_std),
+                    logdir=args.logdir,
                     log_wandb=args.wandb, seed=args.seed,
                     num_devices=args.num_devices)
     if args.reset_action_std is not None:
@@ -230,6 +232,9 @@ def parse_args(argv=None):
     p.add_argument("--entropy_coef", type=float, default=0.01)
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--reset_action_std", type=float, default=None)
+    p.add_argument("--max_noise_std", type=float, default=None,
+                   help="ceiling on the learned exploration std (see "
+                        "scripts/train.py; breaks entropy-driven inflation)")
     p.add_argument("--max_adaptive_lr", type=float, default=1e-2)
     p.add_argument("--only_positive", action="store_true")
     return p.parse_args(argv)

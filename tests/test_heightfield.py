@@ -86,3 +86,54 @@ def test_patch_nearest_matches_flat():
         sample_patch_nearest, in_axes=(0, 0, 0, None, None, None, 0, 0))(
         pb, xs, ys, t.horizontal_scale, th, tw, t.env_terrain_origin, pts)
     np.testing.assert_allclose(np.asarray(h_patch), np.asarray(h_flat), atol=1e-6)
+
+
+def test_patch_bilinear_fused_matches_separable():
+    """The fused single-matmul sampler (transpose_patch layout) must return
+    the separable sampler's values: same products, same contraction lengths,
+    same bf16 round-once points — only the op packing differs."""
+    from legged_tracking_tpu.terrain.heightfield import (
+        sample_patch_bilinear_fused, transpose_patch)
+
+    t = make_terrain()
+    rng = np.random.RandomState(2)
+    base = np.asarray(t.env_origin)[:, :2]
+    pts = base[:, None, :] + rng.uniform(-0.5, 0.5, (8, 16, 2))
+    pts = jnp.asarray(pts)
+    pb, xs, ys = extract_patches_batched(t, t.env_tile, t.env_terrain_origin,
+                                         jnp.asarray(base))
+    th, tw = t.tiles.shape[2], t.tiles.shape[3]
+    h_sep, g_sep = jax.vmap(
+        sample_patch_bilinear, in_axes=(0, 0, 0, None, None, None, 0, 0))(
+        pb, xs, ys, t.horizontal_scale, th, tw, t.env_terrain_origin, pts)
+    h_fus, g_fus = jax.vmap(
+        sample_patch_bilinear_fused, in_axes=(0, 0, 0, None, None, None, 0, 0))(
+        transpose_patch(pb), xs, ys, t.horizontal_scale, th, tw,
+        t.env_terrain_origin, pts)
+    np.testing.assert_allclose(np.asarray(h_fus), np.asarray(h_sep),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_sep),
+                               rtol=0, atol=1e-4)
+
+
+def test_patch_nearest_fused_matches_separable():
+    from legged_tracking_tpu.terrain.heightfield import (
+        sample_patch_nearest_fused, transpose_patch)
+
+    t = make_terrain()
+    rng = np.random.RandomState(3)
+    base = np.asarray(t.env_origin)[:, :2]
+    pts = base[:, None, :] + rng.uniform(-0.7, 0.7, (8, 24, 2))
+    pts = jnp.asarray(pts)
+    pb, xs, ys = extract_patches_batched(t, t.env_tile, t.env_terrain_origin,
+                                         jnp.asarray(base), 64, 32)
+    th, tw = t.tiles.shape[2], t.tiles.shape[3]
+    h_sep = jax.vmap(
+        sample_patch_nearest, in_axes=(0, 0, 0, None, None, None, 0, 0))(
+        pb, xs, ys, t.horizontal_scale, th, tw, t.env_terrain_origin, pts)
+    h_fus = jax.vmap(
+        sample_patch_nearest_fused, in_axes=(0, 0, 0, None, None, None, 0, 0))(
+        transpose_patch(pb), xs, ys, t.horizontal_scale, th, tw,
+        t.env_terrain_origin, pts)
+    np.testing.assert_allclose(np.asarray(h_fus), np.asarray(h_sep),
+                               rtol=0, atol=1e-6)

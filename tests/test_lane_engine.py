@@ -322,3 +322,125 @@ def test_env_rollout_matches_vmap_path():
                                    err_msg=f"step {i} v")
         np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=5e-2,
                                    err_msg=f"step {i} rew")
+
+
+def test_control_step_fused_sampling_matches():
+    """control_step_lanes(fused_sampling=True) — one-matmul contact sampling
+    on the transpose_patch layout — tracks the separable-sampling lane path
+    over a 10-control-step rollout on a TUNNEL terrain (ceiling branch
+    exercised).  The only arithmetic difference is bf16-level op packing."""
+    from legged_tracking_tpu.config import Cfg, config_go1
+    from legged_tracking_tpu.terrain.tunnel import build_terrain
+
+    N = 4
+    cfg = config_go1(Cfg())
+    cfg.terrain.mesh_type = "trimesh"
+    cfg.terrain.terrain_type = "single_path"
+    cfg.terrain.num_rows = 2
+    cfg.terrain.num_cols = 2
+    cfg.terrain.terrain_length = 4.0
+    cfg.terrain.terrain_width = 2.0
+    cfg.terrain.terrain_ratio_x = 0.9
+    cfg.terrain.terrain_ratio_y = 0.5
+    cfg.terrain.ceiling_height = 0.8
+    cfg.terrain.start_loc = 0.32
+    terr = build_terrain(cfg, N, seed=5)
+
+    net = actuators.load_actuator_net()
+    tf_lm = actuators.make_torque_fn_lanes(
+        "actuator_net", net, DEFAULT_Q, 20.0, 0.5, MODEL.dof_effort,
+        randomize_lag=True)
+    params = engine.PhysParams(
+        friction=jnp.linspace(0.5, 1.0, N), restitution=jnp.zeros(N),
+        gravity=jnp.tile(jnp.array([0.0, 0.0, -9.81]), (N, 1)),
+        payload=jnp.linspace(0.0, 0.5, N),
+        com_offset=jnp.zeros((N, 3)).at[:, 0].set(0.01),
+    )
+    ast = actuators.init_actuator_state(6)
+    carry = (
+        jax.tree.map(lambda x: jnp.tile(x, (N,) + (1,) * x.ndim), ast),
+        jnp.ones((N, 12)), jnp.zeros((N, 12)),
+        jnp.ones((N, 12)), jnp.ones((N, 12)),
+        0.1 * jnp.ones((N, 12)),
+    )
+    state = engine.PhysState(
+        base_pos=terr.env_origin + jnp.array([0.0, 0.0, 0.32]),
+        base_quat=jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (N, 1)),
+        qj=jnp.tile(DEFAULT_Q, (N, 1)),
+        v=jnp.zeros((N, 18)),
+    )
+
+    def roll(fused):
+        @jax.jit
+        def go(state, carry):
+            def body(c, _):
+                st, cr = c
+                patches, xs, ys = extract_patches_batched(
+                    terr, terr.env_tile, terr.env_terrain_origin,
+                    st.base_pos[:, :2])
+                st, cr, aux = engine.control_step_lanes(
+                    MODEL, terr, patches, xs, ys, terr.env_terrain_origin,
+                    st, tf_lm, cr, params, 0.005, 4, 5000.0, 50.0, 80.0, 2.0,
+                    fused_sampling=fused)
+                return (st, cr), aux
+            return jax.lax.scan(body, (state, carry), None, length=10)
+        return go(state, carry)
+
+    (s_a, _), aux_a = roll(False)
+    (s_b, _), aux_b = roll(True)
+    np.testing.assert_allclose(np.asarray(s_b.base_pos),
+                               np.asarray(s_a.base_pos), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s_b.base_quat),
+                               np.asarray(s_a.base_quat), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s_b.qj), np.asarray(s_a.qj),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(s_b.v), np.asarray(s_a.v),
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(aux_b.contact_report),
+                               np.asarray(aux_a.contact_report), atol=0.2)
+
+
+def test_env_rollout_fused_sampling_matches():
+    """Full LeggedEnv steps agree between fused and separable sampling
+    (cfg.sim.fused_sampling flag wiring: contact island + obs height scan)."""
+    from legged_tracking_tpu.config import Cfg, config_go1
+    from legged_tracking_tpu.envs import LeggedEnv
+
+    def make(fused):
+        cfg = config_go1(Cfg())
+        cfg.env.num_envs = 4
+        cfg.env.command_type = "xy"
+        cfg.env.observe_heights = True
+        cfg.terrain.mesh_type = "trimesh"
+        cfg.terrain.terrain_type = "single_path"
+        cfg.terrain.num_rows = 2
+        cfg.terrain.num_cols = 2
+        cfg.terrain.terrain_length = 4.0
+        cfg.terrain.terrain_width = 2.0
+        cfg.terrain.terrain_ratio_x = 0.9
+        cfg.terrain.terrain_ratio_y = 0.5
+        cfg.terrain.ceiling_height = 0.8
+        cfg.terrain.start_loc = 0.32
+        cfg.control.control_type = "actuator_net"
+        cfg.env.episode_length_s = 2.0
+        cfg.sim.fused_sampling = fused
+        return LeggedEnv(cfg)
+
+    def roll(env):
+        state = env._reset_jit(jax.random.key(0), True)
+        outs = []
+        for i in range(5):
+            act = 0.3 * jnp.sin(0.1 * i + jnp.arange(4 * 12, dtype=jnp.float32)
+                                ).reshape(4, 12)
+            state, out = env._step_jit(state, act)
+            outs.append((np.asarray(state.phys.base_pos),
+                         np.asarray(state.phys.v), np.asarray(out.obs),
+                         np.asarray(out.rew)))
+        return outs
+
+    for i, ((p0, v0, o0, r0), (p1, v1, o1, r1)) in enumerate(
+            zip(roll(make(False)), roll(make(True)))):
+        np.testing.assert_allclose(p1, p0, atol=1e-3, err_msg=f"step {i} pos")
+        np.testing.assert_allclose(v1, v0, atol=5e-2, err_msg=f"step {i} v")
+        np.testing.assert_allclose(o1, o0, atol=1e-2, err_msg=f"step {i} obs")
+        np.testing.assert_allclose(r1, r0, atol=5e-2, err_msg=f"step {i} rew")
