@@ -264,6 +264,15 @@ class CurriculumThresholdsCfg:
     # (docs/TRAINING_NOTES.md): when success at the current distance decays,
     # the value signal vanishes and PPO degrades to passive standing.
     cl_downstep_threshold: float = 0.0
+    # beyond-reference: fraction of TRAIN envs that rehearse at a uniformly
+    # sampled distance in [cl_start_target_dist, target_dist] instead of the
+    # frontier distance (0 = reference semantics).  Fixes the abstention
+    # economics of the sparse frontier (docs/TRAINING_NOTES.md round 3):
+    # short goals keep the expected return of attempting positive and retain
+    # short-distance competence.  The curriculum window gates on the
+    # FRONTIER slice only (metrics frontier_reached_mean), so rehearsal
+    # success cannot advance the curriculum.
+    cl_dist_mix: float = 0.0
     # velocity-task thresholds (fraction of max reward per term)
     tracking_lin_vel: float = 0.8
     tracking_ang_vel: float = 0.7

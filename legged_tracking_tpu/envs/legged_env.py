@@ -257,9 +257,22 @@ class LeggedEnv:
         v = jnp.concatenate([v6, jnp.zeros((N, 12))], axis=-1)
         phys = PhysState(base_pos=base_pos, base_quat=base_quat, qj=qj, v=v)
 
+        # rehearsal mixing (cl_dist_mix, config.py): a LEADING slice of train
+        # envs samples its goal distance uniformly in [cl_start, target_dist]
+        # — the curriculum gate reads the complementary frontier slice only
+        ct = cfg.curriculum_thresholds
+        dist_i = jnp.broadcast_to(jnp.asarray(target_dist, jnp.float32), (N,))
+        if ct.cl_fix_target and ct.cl_dist_mix > 0.0:
+            n_train = N - int(getattr(cfg.env, "num_eval_envs", 0))
+            n_mix = int(round(ct.cl_dist_mix * n_train))
+            u = jax.vmap(lambda k: jax.random.uniform(k, ()))(self._fold(keys, 15))
+            mixed = ct.cl_start_target_dist + u * jnp.maximum(
+                dist_i - ct.cl_start_target_dist, 0.0)
+            dist_i = jnp.where(jnp.arange(N) < n_mix, mixed, dist_i)
         traj = jax.vmap(
-            lambda k, bp, tile, to: self._traj_fn(k, bp, cfg, self.terrain, tile, to, target_dist)
-        )(self._fold(keys, 14), base_pos, self.terrain.env_tile, self.terrain.env_terrain_origin)
+            lambda k, bp, tile, to, d: self._traj_fn(k, bp, cfg, self.terrain, tile, to, d)
+        )(self._fold(keys, 14), base_pos, self.terrain.env_tile,
+          self.terrain.env_terrain_origin, dist_i)
 
         act = jax.vmap(lambda _: actuators.init_actuator_state(cfg.domain_rand.lag_timesteps))(
             jnp.zeros(N))

@@ -107,6 +107,12 @@ class PPO:
         # eval population.  Static slice boundary, so everything stays jittable.
         self.n_eval = int(getattr(env.cfg.env, "num_eval_envs", 0))
         self.n_train = env.num_envs - self.n_eval
+        # rehearsal-mixing split (cl_dist_mix, config.py): the LEADING n_mix
+        # train envs run easier rehearsal distances; curriculum gating reads
+        # the frontier_* metrics over the complementary slice
+        ct = getattr(env.cfg, "curriculum_thresholds", None)
+        mix = float(getattr(ct, "cl_dist_mix", 0.0)) if ct is not None else 0.0
+        self.n_mix = int(round(mix * self.n_train))
         # optimizers: dynamic-lr Adam for PPO; fixed-lr Adam for adaptation.
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.args.max_grad_norm),
@@ -505,6 +511,8 @@ class PPO:
         # __init__.py:307): diagnoses entropy-driven std inflation
         metrics["action_std_mean"] = jnp.mean(traj.sigma[-1])
         ep_metrics(slice(0, self.n_train))
+        if self.n_mix:
+            ep_metrics(slice(self.n_mix, self.n_train), prefix="frontier_")
         if self.n_eval:
             ep_metrics(slice(self.n_train, None), prefix="eval_")
         return train_state, env_state, last_obs, metrics

@@ -214,13 +214,18 @@ class Runner:
             # log branch made the window fill log_freq x slower.  Cost: one
             # 2-scalar device fetch per iteration.
             if cfg.curriculum_thresholds.cl_fix_target and update_model:
-                n_eps = int(metrics["num_episodes"])
+                # with rehearsal mixing (cl_dist_mix) the gate reads the
+                # frontier slice only — rehearsal success must not advance
+                # (or hold back) the frontier distance
+                n_eps = int(metrics.get("frontier_num_episodes",
+                                        metrics["num_episodes"]))
+                reach = float(metrics.get("frontier_reached_mean",
+                                          metrics["reached_mean"]))
                 if n_eps > 0:
-                    self._reached_window.extend(
-                        [float(metrics["reached_mean"])] * n_eps)
+                    self._reached_window.extend([reach] * n_eps)
                     # between-log running means (DistCache parity)
                     self._dist_cache.log(
-                        reached=float(metrics["reached_mean"]),
+                        reached=reach,
                         episodes_per_iter=float(n_eps))
                 if (len(self._reached_window) >= 4000 and
                         np.mean(self._reached_window) >
@@ -292,6 +297,29 @@ class Runner:
                     and (it % self.runner_args.save_interval == 0) and it > 0):
                 self.save(os.path.join(self.logdir, f"ac_weights_{it:06d}.pkl"))
                 self.save(os.path.join(self.logdir, "ac_weights_last.pkl"))
+                # best-checkpoint tracking: long sparse-reward runs erode
+                # past their peak (docs/TRAINING_NOTES.md — both goal runs
+                # decayed from ~it1400 with std FLAT, a frontier-erosion
+                # mode distinct from std inflation), so keep the best
+                # (curriculum distance, reach window) snapshot alongside
+                # the periodic ones.
+                score = None
+                if self.history:
+                    rec = self.history[-1]
+                    win = rec.get("window_reached", rec.get("reached_mean"))
+                    if win is not None:
+                        # rank by distance only once the window clears 0.7
+                        # (a fresh advance with a collapsed window is not a
+                        # better artifact than a mastered shorter distance)
+                        td = rec.get("target_dist", 0.0)
+                        score = (td if float(win) >= 0.7 else 0.0, float(win))
+                if score is not None and score > getattr(
+                        self, "_best_score", (-1.0, -1.0)):
+                    self._best_score = score
+                    self.save(os.path.join(self.logdir, "ac_weights_best.pkl"))
+                    with open(os.path.join(self.logdir, "best.json"), "w") as f:
+                        json.dump({"it": it, "target_dist": score[0],
+                                   "window_reached": score[1]}, f)
 
         if self.logdir:
             self.save(os.path.join(self.logdir, "ac_weights_last.pkl"))

@@ -177,6 +177,7 @@ def build_cfg(args):
         if args.cl_goal_target_dist is not None:
             cfg.curriculum_thresholds.cl_goal_target_dist = args.cl_goal_target_dist
         cfg.curriculum_thresholds.cl_downstep_threshold = args.cl_downstep
+        cfg.curriculum_thresholds.cl_dist_mix = args.cl_dist_mix
     return cfg
 
 
@@ -400,6 +401,10 @@ def parse_args(argv=None):
     p.add_argument("--cl_downstep", type=float, default=0.0,
                    help="step the goal distance BACK when the reach window "
                         "falls below this (0 = off; beyond-reference safety)")
+    p.add_argument("--cl_dist_mix", type=float, default=0.0,
+                   help="fraction of train envs rehearsing at U[cl_start, "
+                        "target] goal distances; the curriculum gates on the "
+                        "frontier slice only (0 = reference semantics)")
     p.add_argument("--value_loss_coef", type=float, default=1.0)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--clip_param", type=float, default=0.2)

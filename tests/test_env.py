@@ -128,3 +128,56 @@ def test_step_deterministic():
     s2, out2 = env.step_fn(s0, a)
     assert np.allclose(np.asarray(out1.obs), np.asarray(out2.obs))
     assert np.allclose(np.asarray(s1.phys.base_pos), np.asarray(s2.phys.base_pos))
+
+
+def test_cl_dist_mix_rehearsal_slice():
+    """cl_dist_mix: leading train envs sample U[cl_start, target] goal
+    distances; the frontier slice stays at the target distance; PPO emits
+    frontier_* metrics that exclude the rehearsal slice."""
+    import jax
+    import numpy as np
+    from legged_tracking_tpu.config import Cfg, config_go1
+    from legged_tracking_tpu.envs import LeggedEnv
+
+    cfg = config_go1(Cfg())
+    cfg.env.num_envs = 16
+    cfg.env.command_type = "xy"
+    cfg.terrain.mesh_type = "trimesh"
+    cfg.terrain.terrain_type = "single_path"
+    cfg.terrain.num_rows = 2
+    cfg.terrain.num_cols = 2
+    cfg.terrain.terrain_length = 6.0
+    cfg.terrain.terrain_width = 2.0
+    cfg.terrain.terrain_ratio_x = 0.9
+    cfg.terrain.terrain_ratio_y = 0.5
+    cfg.terrain.ceiling_height = 0.8
+    cfg.terrain.start_loc = 0.2
+    cfg.terrain.x_init_range = 0.0
+    cfg.terrain.y_init_range = 0.0
+    cfg.commands.traj_function = "fixed_target"
+    cfg.commands.traj_length = 1
+    cfg.commands.x_range = 0.0
+    cfg.commands.y_range = 0.0
+    ct = cfg.curriculum_thresholds
+    ct.cl_fix_target = True
+    ct.cl_start_target_dist = 0.6
+    ct.cl_dist_mix = 0.5
+    env = LeggedEnv(cfg)
+    state = env._reset_jit(jax.random.key(0), True)
+    # push the curriculum to 3.0 and resample via a fresh reset
+    state = state._replace(target_dist=jax.numpy.asarray(3.0))
+    phys, act, traj = env._reset_values(state.rng, state.target_dist)
+    dx = np.asarray(traj[:, 0, 0] - phys.base_pos[:, 0])
+    n_mix = 8
+    assert np.all(dx[n_mix:] > 2.9), dx[n_mix:]          # frontier at target
+    assert np.all(dx[:n_mix] > 0.5) and np.all(dx[:n_mix] < 3.01)
+    assert dx[:n_mix].std() > 0.3, dx[:n_mix]            # genuinely mixed
+
+    from legged_tracking_tpu.learn import PPO, PPOArgs
+    alg = PPO(env, args=PPOArgs(num_steps_per_env=2))
+    assert alg.n_mix == 8
+    ts = alg.init(jax.random.key(1))
+    obs = env._observe_jit(state)
+    ts, state2, _, metrics = alg.train_iteration_jit(
+        ts, state, obs, jax.random.key(2))
+    assert "frontier_reached_mean" in metrics
