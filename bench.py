@@ -56,13 +56,17 @@ def build(num_envs=None, lane_engine=None):
     cfg.commands.switch_dist = 0.3
     cfg.commands.base_x = 2.6
     # lane-major physics path (physics/lanes.py) is the measured default
-    # (round-3 A/B: 304.9k vs 301.2k); BENCH_LANE=0 re-runs the env-major A/B
+    # (round-3 A/B: 304.9k vs 301.2k; fused sampling on top: 313.1k);
+    # BENCH_LANE=0 re-runs the env-major A/B
     if lane_engine is None:
         lane_engine = os.environ.get("BENCH_LANE", "1") == "1"
     cfg.sim.lane_engine = lane_engine
     # fused contact sampling A/B knob (heightfield.sample_patch_bilinear_fused)
     cfg.sim.fused_sampling = os.environ.get(
         "BENCH_FUSED", "1" if cfg.sim.fused_sampling else "0") == "1"
+    # contact-window width A/B knob (SimCfg.patch_y): 32 = ±0.8 m default,
+    # 24/16 cut the sampling contraction + patch traffic
+    cfg.sim.patch_y = int(os.environ.get("BENCH_PATCH_Y", cfg.sim.patch_y))
 
     env = LeggedEnv(cfg)
     alg = PPO(env, args=PPOArgs())

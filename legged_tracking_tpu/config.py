@@ -481,8 +481,17 @@ class SimCfg:
     # fused contact sampling (lane engine only): relayout the terrain patch
     # once per control step (transpose_patch) so each substep's bilinear
     # sampling is 1 MXU matmul + 2 batched dots instead of 5 contractions
-    # (heightfield.sample_patch_bilinear_fused). Default pending on-chip A/B.
-    fused_sampling: bool = False
+    # (heightfield.sample_patch_bilinear_fused). Default ON since the
+    # round-3 on-chip A/B: 313.1k vs 304.9k env-steps/s at the 4096-env
+    # bench (unlike the reverted per-substep pklm relayout, the one-time
+    # transpose_patch relayout amortizes over the decimation loop).
+    fused_sampling: bool = True
+    # contact-patch window width (cells) along world y. 32 cells = ±0.8 m;
+    # the Go1's collision spheres stay within ±0.5 m of the base, so 24
+    # (±0.6 m) is safe for any yaw and 16 (±0.4 m) clips only mid-air
+    # stretched poses (points clamp to the window edge). Narrower windows
+    # cut the per-substep sampling contraction + patch HBM traffic.
+    patch_y: int = 32
 
 
 @dataclass

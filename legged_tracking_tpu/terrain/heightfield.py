@@ -230,24 +230,26 @@ def sample_patch_bilinear(patch, xs, ys, hs, h, w, env_terrain_origin, points_xy
 
     Semantics match sample_height_bilinear for points within the patch
     (guaranteed for collision spheres); points clamp to the patch border
-    beyond ±(PATCH/2) cells of the base.
+    beyond ±(px/2, py/2) cells of the base.
     """
+    px, py = patch.shape[1], patch.shape[2]
     local = (points_xy - env_terrain_origin[:2]) / hs          # (P, 2)
     x = jnp.clip(local[:, 0], 0.0, h - 1.001) - xs
     y = jnp.clip(local[:, 1], 0.0, w - 1.001) - ys
-    x = jnp.clip(x, 0.0, PATCH - 1.001)
-    y = jnp.clip(y, 0.0, PATCH - 1.001)
+    x = jnp.clip(x, 0.0, px - 1.001)
+    y = jnp.clip(y, 0.0, py - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = (x - x0)[:, None]
     fy = (y - y0)[:, None]
 
-    cols = jnp.arange(PATCH)[None, :]
-    at0x = (cols == x0[:, None]).astype(jnp.float32)
-    at1x = (cols == (x0 + 1)[:, None]).astype(jnp.float32)
-    at0y = (cols == y0[:, None]).astype(jnp.float32)
-    at1y = (cols == (y0 + 1)[:, None]).astype(jnp.float32)
-    Wx = at0x * (1 - fx) + at1x * fx                            # (P, PATCH)
+    colsx = jnp.arange(px)[None, :]
+    colsy = jnp.arange(py)[None, :]
+    at0x = (colsx == x0[:, None]).astype(jnp.float32)
+    at1x = (colsx == (x0 + 1)[:, None]).astype(jnp.float32)
+    at0y = (colsy == y0[:, None]).astype(jnp.float32)
+    at1y = (colsy == (y0 + 1)[:, None]).astype(jnp.float32)
+    Wx = at0x * (1 - fx) + at1x * fx                            # (P, px)
     Wy = at0y * (1 - fy) + at1y * fy
     dWx = (at1x - at0x) / hs
     dWy = (at1y - at0y) / hs

@@ -172,6 +172,15 @@ def build_cfg(args):
     cfg.normalization.friction_range = [0, 1]
     cfg.normalization.clip_actions = 10.0
 
+    # opt-in: train under an eval DR profile's ranges (VERDICT r2 weak #8 —
+    # the flagship checkpoint's adaptation loss degrades at the static_low/
+    # static_high eval pins because the published training ranges don't
+    # cover them; reference profiles in learn/domain_randomization_profiles)
+    if args.dr_profile:
+        from legged_tracking_tpu.learn import domain_randomization_profiles as drp
+        cfg = {"regular": drp.rand_regular, "large": drp.rand_large}[
+            args.dr_profile](cfg)
+
     if args.strategy == "goal":
         _apply_goal_recipe(cfg)
         if args.cl_goal_target_dist is not None:
@@ -405,6 +414,10 @@ def parse_args(argv=None):
                    help="fraction of train envs rehearsing at U[cl_start, "
                         "target] goal distances; the curriculum gates on the "
                         "frontier slice only (0 = reference semantics)")
+    p.add_argument("--dr_profile", choices=["regular", "large"], default="",
+                   help="train under an eval DR profile's ranges (friction "
+                        "0.05-4.5 etc.; learn/domain_randomization_profiles) "
+                        "instead of the published narrow training ranges")
     p.add_argument("--value_loss_coef", type=float, default=1.0)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--clip_param", type=float, default=0.2)

@@ -137,3 +137,29 @@ def test_patch_nearest_fused_matches_separable():
         t.env_terrain_origin, pts)
     np.testing.assert_allclose(np.asarray(h_fus), np.asarray(h_sep),
                                rtol=0, atol=1e-6)
+
+
+def test_patch_narrow_y_matches_full():
+    """SimCfg.patch_y narrows the contact window along world y. For points
+    inside the narrow window (the Go1 sphere envelope stays within ±0.5 m of
+    the base; py=24 covers ±0.6 m) the narrow patch must reproduce the
+    full-width patch's heights and gradients exactly — only points beyond
+    the window edge clamp differently."""
+    t = make_terrain()
+    rng = np.random.RandomState(3)
+    base = np.asarray(t.env_origin)[:, :2]
+    pts = base[:, None, :] + np.stack([rng.uniform(-0.5, 0.5, (8, 16)),
+                                       rng.uniform(-0.45, 0.45, (8, 16))], -1)
+    pts = jnp.asarray(pts)
+    th, tw = t.tiles.shape[2], t.tiles.shape[3]
+    out = {}
+    for py in (32, 24):
+        pb, xs, ys = extract_patches_batched(
+            t, t.env_tile, t.env_terrain_origin, jnp.asarray(base), PATCH, py)
+        out[py] = jax.vmap(
+            sample_patch_bilinear, in_axes=(0, 0, 0, None, None, None, 0, 0))(
+            pb, xs, ys, t.horizontal_scale, th, tw, t.env_terrain_origin, pts)
+    np.testing.assert_allclose(np.asarray(out[24][0]), np.asarray(out[32][0]),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[24][1]), np.asarray(out[32][1]),
+                               rtol=0, atol=1e-6)
