@@ -260,6 +260,12 @@ class Runner:
                     ep_means.update(zip(
                         ["eval_rew_" + n for n in env.metric_names],
                         m.pop("eval_episode_sums_mean")))
+                if "frontier_episode_sums_mean" in m:
+                    # rehearsal-mix runs: per-term reward ledger of the
+                    # frontier slice (the abstention-economics diagnostic)
+                    ep_means.update(zip(
+                        ["frontier_rew_" + n for n in env.metric_names],
+                        m.pop("frontier_episode_sums_mean")))
                 rec = {k2: float(v) for k2, v in m.items()}
                 rec.update({k2: float(v) for k2, v in ep_means.items()})
                 rec.update({"it": it, "fps": fps, "timesteps": self.tot_timesteps})
