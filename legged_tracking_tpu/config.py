@@ -488,10 +488,14 @@ class SimCfg:
     fused_sampling: bool = True
     # contact-patch window width (cells) along world y. 32 cells = ±0.8 m;
     # the Go1's collision spheres stay within ±0.5 m of the base, so 24
-    # (±0.6 m) is safe for any yaw and 16 (±0.4 m) clips only mid-air
-    # stretched poses (points clamp to the window edge). Narrower windows
-    # cut the per-substep sampling contraction + patch HBM traffic.
-    patch_y: int = 32
+    # (±0.6 m) is exact for any yaw and 16 (±0.4 m) clips only mid-air
+    # stretched poses (points clamp to the window edge; a 60-control-step
+    # yaw-mixed CPU rollout is bitwise identical 16 vs 32). Narrower windows
+    # cut the per-substep sampling contraction + patch HBM traffic. Default
+    # 16 since the round-3 on-chip A/B: 347.2k (16) vs 326.0k (24) vs
+    # 313.1k (32) env-steps/s at the 4096-env bench; set 24 to make clamping
+    # provably unreachable.
+    patch_y: int = 16
 
 
 @dataclass
