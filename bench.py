@@ -67,6 +67,9 @@ def build(num_envs=None, lane_engine=None):
     # contact-window width A/B knob (SimCfg.patch_y): 32 = ±0.8 m default,
     # 24/16 cut the sampling contraction + patch traffic
     cfg.sim.patch_y = int(os.environ.get("BENCH_PATCH_Y", cfg.sim.patch_y))
+    # contact-window length A/B knob (SimCfg.patch_x): 32 = ±0.8 m default;
+    # px is the fused sampler's stage-1 MXU contraction depth
+    cfg.sim.patch_x = int(os.environ.get("BENCH_PATCH_X", cfg.sim.patch_x))
 
     env = LeggedEnv(cfg)
     alg = PPO(env, args=PPOArgs())

@@ -496,6 +496,12 @@ class SimCfg:
     # 313.1k (32) env-steps/s at the 4096-env bench; set 24 to make clamping
     # provably unreachable.
     patch_y: int = 16
+    # contact-patch window length (cells) along world x. Same envelope
+    # argument as patch_y (spheres stay within ±0.5 m of the base; the base
+    # advances <0.06 m within one control step), and in the fused sampler px
+    # is the stage-1 MXU contraction depth. Default kept 32 until an on-chip
+    # A/B lands (BENCH_PATCH_X) — never flip a perf default unmeasured.
+    patch_x: int = 32
 
 
 @dataclass

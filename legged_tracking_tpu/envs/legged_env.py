@@ -479,7 +479,8 @@ class LeggedEnv:
 
         patches = extract_patches_batched(
             terrain, terrain.env_tile, terrain.env_terrain_origin,
-            state.phys.base_pos[:, :2], py=cfg.sim.patch_y)
+            state.phys.base_pos[:, :2], px=cfg.sim.patch_x,
+            py=cfg.sim.patch_y)
 
         if cfg.sim.lane_engine:
             phys, carry, aux = control_step_lanes(

@@ -256,9 +256,10 @@ class VelocityTrackingEnv(LeggedEnv):
         carry0 = (state.act, state.motor_strength, state.motor_offset,
                   state.kp_factor, state.kd_factor, actions_scaled)
 
-        patches = extract_patches_batched(
+        patches = extract_patches_batched(  # px/py: see SimCfg knob docs
             terrain, terrain.env_tile, terrain.env_terrain_origin,
-            state.phys.base_pos[:, :2], py=cfg.sim.patch_y)
+            state.phys.base_pos[:, :2], px=cfg.sim.patch_x,
+            py=cfg.sim.patch_y)
 
         if cfg.sim.lane_engine:
             phys, carry, aux = control_step_lanes(

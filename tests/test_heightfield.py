@@ -163,3 +163,28 @@ def test_patch_narrow_y_matches_full():
                                rtol=0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out[24][1]), np.asarray(out[32][1]),
                                rtol=0, atol=1e-6)
+
+
+def test_patch_narrow_x_matches_full():
+    """SimCfg.patch_x narrows the contact window along world x (the fused
+    sampler's stage-1 MXU contraction depth). For points inside the window
+    the narrow patch must reproduce the full-length patch exactly — same
+    envelope argument as patch_y."""
+    t = make_terrain()
+    rng = np.random.RandomState(5)
+    base = np.asarray(t.env_origin)[:, :2]
+    pts = base[:, None, :] + np.stack([rng.uniform(-0.35, 0.35, (8, 16)),
+                                       rng.uniform(-0.35, 0.35, (8, 16))], -1)
+    pts = jnp.asarray(pts)
+    th, tw = t.tiles.shape[2], t.tiles.shape[3]
+    out = {}
+    for px in (32, 16):
+        pb, xs, ys = extract_patches_batched(
+            t, t.env_tile, t.env_terrain_origin, jnp.asarray(base), px, 16)
+        out[px] = jax.vmap(
+            sample_patch_bilinear, in_axes=(0, 0, 0, None, None, None, 0, 0))(
+            pb, xs, ys, t.horizontal_scale, th, tw, t.env_terrain_origin, pts)
+    np.testing.assert_allclose(np.asarray(out[16][0]), np.asarray(out[32][0]),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[16][1]), np.asarray(out[32][1]),
+                               rtol=0, atol=1e-6)
