@@ -342,6 +342,10 @@ class LeggedEnv:
             episode_sums=jnp.zeros((N, K)),
             rng=self._fold(keys, 999), global_rng=gkey,
         )
+        if cfg.commands.sampling_based_planning:
+            rpy = qt.quaternion_to_roll_pitch_yaw(phys.base_quat)
+            state = state._replace(
+                measured_heights=self._get_heights(phys.base_pos, rpy))
         return state
 
     # ------------------------------------------------------------ step core
@@ -517,10 +521,12 @@ class LeggedEnv:
         base_rpy = qt.quaternion_to_roll_pitch_yaw(base_quat)
 
         # ---- callback (:774-848) ----
-        # the pre-reset scan is only needed by the sampling-based planner; the
-        # observation scan (mh_o below) is identical for every non-reset env
+        # the planner reads the height scan stored by the previous step (at
+        # this step's PRE-physics base pose: <0.06 m stale, exact for fresh
+        # resets — see EnvState.measured_heights) so each step pays ONE scan
+        # (mh_o below) where the reference pays two (:789 and :357)
         if cfg.commands.sampling_based_planning:
-            measured_heights = self._get_heights(base_pos, base_rpy)
+            measured_heights = state.measured_heights
         idx = state.curr_pose_index
         target = self._select_waypoint(state.trajectories, idx)
         rel_lin, rel_rot = self._relative_pose(target, base_pos, base_quat, base_rpy)
@@ -775,6 +781,8 @@ class LeggedEnv:
             target_dist=state.target_dist,
             episode_sums=episode_sums,
             rng=rng_next, global_rng=g_next,
+            measured_heights=(mh_o if cfg.commands.sampling_based_planning
+                              else None),
         )
         return new_state, StepOut(obs=obs, privileged_obs=priv, obs_history=obs_history,
                                   rew=rew, done=done, info=info)

