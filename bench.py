@@ -67,9 +67,17 @@ def build(num_envs=None, lane_engine=None):
     # contact-window width A/B knob (SimCfg.patch_y): 32 = ±0.8 m default,
     # 24/16 cut the sampling contraction + patch traffic
     cfg.sim.patch_y = int(os.environ.get("BENCH_PATCH_Y", cfg.sim.patch_y))
-    # contact-window length A/B knob (SimCfg.patch_x): 32 = ±0.8 m default;
+    # contact-window length A/B knob (SimCfg.patch_x): 24 = ±0.6 m default
+    # (round-4 A/B; 16 is +3.7% more but clips stretched poses);
     # px is the fused sampler's stage-1 MXU contraction depth
     cfg.sim.patch_x = int(os.environ.get("BENCH_PATCH_X", cfg.sim.patch_x))
+    # pms-strategy A/B knobs: BENCH_PMS=1 turns on the batched 1125-candidate
+    # local planner (sampling_based_planning); BENCH_PMS_RESCAN=1 restores
+    # the reference's double height-scan per step for comparison
+    if os.environ.get("BENCH_PMS", "0") == "1":
+        cfg.commands.sampling_based_planning = True
+        cfg.commands.planner_rescan = os.environ.get(
+            "BENCH_PMS_RESCAN", "0") == "1"
 
     env = LeggedEnv(cfg)
     alg = PPO(env, args=PPOArgs())

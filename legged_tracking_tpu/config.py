@@ -176,6 +176,11 @@ class CommandsCfg:
 
     sampling_based_planning: bool = False
     plan_interval: int = 10
+    # A/B knob: re-scan heights pre-reset for the planner (the reference's
+    # double _get_heights per step) instead of reading the stored scan from
+    # the previous step (EnvState.measured_heights). Only for measuring the
+    # single-scan win; keep False.
+    planner_rescan: bool = False
     candidate_target_poses: np.ndarray = _f(
         np.stack(
             np.meshgrid(
@@ -496,12 +501,25 @@ class SimCfg:
     # 313.1k (32) env-steps/s at the 4096-env bench; set 24 to make clamping
     # provably unreachable.
     patch_y: int = 16
+    # EMA smoothing of the REPORTED contact forces (dynamics untouched):
+    # report_t = (1-b)*raw_t + b*report_{t-1} with raw already the substep
+    # mean. 0 disables (reference parity: Isaac Gym reports the last raw
+    # solver step). Knob for the ji22 contact-texture hypothesis
+    # (docs/TRAINING_NOTES.md round 4): penalty-spring normal forces are
+    # spikier than PhysX solver impulses, and the shaped-force gait reward
+    # reads that texture through exp(-F^2/sigma).
+    contact_report_ema: float = 0.0
     # contact-patch window length (cells) along world x. Same envelope
     # argument as patch_y (spheres stay within ±0.5 m of the base; the base
     # advances <0.06 m within one control step), and in the fused sampler px
-    # is the stage-1 MXU contraction depth. Default kept 32 until an on-chip
-    # A/B lands (BENCH_PATCH_X) — never flip a perf default unmeasured.
-    patch_x: int = 32
+    # is the stage-1 MXU contraction depth. Round-4 on-chip A/B at the
+    # 4096-env bench: 347.2k (32) / 356.8k (24) / 370.0k (16) env-steps/s.
+    # Default 24 = ±0.6 m, the fastest PROVABLY-exact window (60-step
+    # yaw-mixed CPU rollout bitwise identical to 32; the x half-length of
+    # the sphere envelope is 0.38 m + swing). 16 (±0.4 m) clips stretched
+    # poses — measured 2.3 mm base-pos divergence over 60 flailing steps —
+    # so it stays an opt-in knob (BENCH_PATCH_X=16) rather than the default.
+    patch_x: int = 24
 
 
 @dataclass

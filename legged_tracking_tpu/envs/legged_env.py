@@ -509,6 +509,10 @@ class LeggedEnv:
         act_state = carry[0]
         torques = aux.torques
         contact_forces = aux.contact_report                       # (N, 17, 3)
+        if cfg.sim.contact_report_ema > 0.0:
+            # smooth the reported force texture only (SimCfg.contact_report_ema)
+            b = cfg.sim.contact_report_ema
+            contact_forces = (1.0 - b) * contact_forces + b * state.contact_forces
 
         # ---- post-physics derivations (:126-136) ----
         ep_len = state.episode_length + 1
@@ -524,9 +528,12 @@ class LeggedEnv:
         # the planner reads the height scan stored by the previous step (at
         # this step's PRE-physics base pose: <0.06 m stale, exact for fresh
         # resets — see EnvState.measured_heights) so each step pays ONE scan
-        # (mh_o below) where the reference pays two (:789 and :357)
+        # (mh_o below) where the reference pays two (:789 and :357);
+        # planner_rescan restores the double scan for the A/B only
         if cfg.commands.sampling_based_planning:
-            measured_heights = state.measured_heights
+            measured_heights = (self._get_heights(base_pos, base_rpy)
+                                if cfg.commands.planner_rescan
+                                else state.measured_heights)
         idx = state.curr_pose_index
         target = self._select_waypoint(state.trajectories, idx)
         rel_lin, rel_rot = self._relative_pose(target, base_pos, base_quat, base_rpy)

@@ -284,6 +284,10 @@ class VelocityTrackingEnv(LeggedEnv):
         act_state = carry[0]
         torques = aux.torques
         contact_forces = aux.contact_report
+        if cfg.sim.contact_report_ema > 0.0:
+            # smooth the reported force texture only (SimCfg.contact_report_ema)
+            b = cfg.sim.contact_report_ema
+            contact_forces = (1.0 - b) * contact_forces + b * state.contact_forces
         foot_positions = aux.sphere_pos[:, self.model.foot_sphere_idx, :]
         foot_velocities = aux.sphere_vel[:, self.model.foot_sphere_idx, :]
 

@@ -51,16 +51,32 @@ class Runner:
     def __init__(self, env, runner_args: RunnerArgs | None = None,
                  ppo_args: PPOArgs | None = None, ac_args: ACArgs | None = None,
                  logdir: str | None = None, log_wandb: bool = False, seed: int = 1,
-                 ac=None, num_devices: int | None = None):
+                 ac=None, num_devices: int | None = None,
+                 distributed: bool = False):
         self.env = env
         self.runner_args = runner_args or RunnerArgs()
         ppo_args = ppo_args or PPOArgs()
         ppo_args.num_steps_per_env = self.runner_args.num_steps_per_env
         self.alg = PPO(env, ac_args=ac_args, args=ppo_args, ac=ac)
         # data-parallel mesh: envs sharded, params replicated; XLA inserts the
-        # psum gradient reductions (SURVEY.md §2.8 TPU-native equivalent)
+        # psum gradient reductions (SURVEY.md §2.8 TPU-native equivalent —
+        # over ICI within a host, DCN across hosts in the distributed case)
         self.mesh = None
-        if num_devices is not None and num_devices > 1:
+        self.distributed = distributed
+        self.process_index = 0
+        if distributed:
+            # caller must have run parallel.init_distributed() already; the
+            # mesh spans every device of every process
+            from ..parallel import global_mesh
+            self.mesh = global_mesh()
+            self.process_index = jax.process_index()
+            # host-side artifacts (checkpoints, metrics.jsonl, video, config
+            # snapshot) are process-0 responsibilities; all processes run the
+            # identical device program + host curriculum arithmetic
+            if self.process_index != 0:
+                logdir = None
+                log_wandb = False
+        elif num_devices is not None and num_devices > 1:
             from ..parallel import make_mesh
             self.mesh = make_mesh(num_devices)
         self.logdir = logdir
@@ -73,24 +89,52 @@ class Runner:
 
         key = jax.random.key(seed)
         self.key, k_init, k_env = jax.random.split(key, 3)
-        self.train_state = self.alg.init(k_init)
-        if self.runner_args.resume:
-            self.load(self.runner_args.resume)
-        self.env_state = env._reset_jit(k_env, True)
+        if self.distributed:
+            # SPMD init: reset/observe run with global out-shardings so each
+            # process materializes ONLY its addressable env shard (host-local
+            # env state — nothing full-batch ever exists on one host); params
+            # are built locally from the shared seed and lifted to a global
+            # replicated array.
+            from ..parallel import batch_sharding_tree, replicate_global
+            self.train_state = replicate_global(self.alg.init(k_init), self.mesh)
+            if self.runner_args.resume:
+                self.load(self.runner_args.resume)
+                self.train_state = replicate_global(
+                    jax.tree.map(np.asarray, self.train_state), self.mesh)
+            k_env = replicate_global(k_env, self.mesh)
+            sds = jax.eval_shape(lambda k: env.reset_fn(k, True), k_env)
+            out_sh = batch_sharding_tree(sds, env.num_envs, self.mesh)
+            self.env_state = jax.jit(env.reset_fn, static_argnums=(1,),
+                                     out_shardings=out_sh)(k_env, True)
+        else:
+            self.train_state = self.alg.init(k_init)
+            if self.runner_args.resume:
+                self.load(self.runner_args.resume)
+            self.env_state = env._reset_jit(k_env, True)
         if getattr(self, "_pending_curriculum", None) is not None and \
                 getattr(self.env_state, "curriculum_weights", None) is not None:
             self.env_state = self.env_state._replace(
-                curriculum_weights=jnp.asarray(self._pending_curriculum))
+                curriculum_weights=self._rep(self._pending_curriculum))
         if getattr(self, "_pending_target_dist", None) is not None:
             # resume fix-target curriculum progress (goal distance)
             self.env_state = self.env_state._replace(
-                target_dist=jnp.asarray(self._pending_target_dist, jnp.float32))
-        self.obs_dict = env._observe_jit(self.env_state)
-        if self.mesh is not None:
-            from ..parallel import replicate, shard_batch
-            self.train_state = replicate(self.train_state, self.mesh)
-            self.env_state = shard_batch(self.env_state, env.num_envs, self.mesh)
-            self.obs_dict = shard_batch(self.obs_dict, env.num_envs, self.mesh)
+                target_dist=self._rep(self._pending_target_dist))
+        if self.distributed:
+            from ..parallel import batch_sharding_tree
+            osds = jax.eval_shape(env.observe, self.env_state)
+            self.obs_dict = jax.jit(
+                env.observe,
+                out_shardings=batch_sharding_tree(osds, env.num_envs, self.mesh),
+            )(self.env_state)
+        else:
+            self.obs_dict = env._observe_jit(self.env_state)
+            if self.mesh is not None:
+                from ..parallel import replicate, shard_batch
+                self.train_state = replicate(self.train_state, self.mesh)
+                self.env_state = shard_batch(self.env_state, env.num_envs,
+                                             self.mesh)
+                self.obs_dict = shard_batch(self.obs_dict, env.num_envs,
+                                            self.mesh)
         self.tot_timesteps = 0
         self._reached_window = deque(maxlen=4000)
         self._video_buf = []
@@ -104,6 +148,18 @@ class Runner:
         if cats:
             self._slot_cache = SlotCache(len(cats))
         self.history = []
+
+    # --------------------------------------------------------------- helpers
+    def _rep(self, x, dtype=np.float32):
+        """Host value → device array, replicated across every process's
+        devices when the global mesh is active (host-written leaves like the
+        fix-target distance must stay valid global-array inputs to the next
+        multi-process train iteration)."""
+        x = np.asarray(x, dtype)
+        if self.distributed:
+            from ..parallel import replicate_global
+            return replicate_global(x, self.mesh)
+        return jnp.asarray(x)
 
     # ------------------------------------------------------------------ io
     def save(self, path: str):
@@ -168,14 +224,20 @@ class Runner:
         env = self.env
         cfg = env.cfg
         t0 = time.time()
+        verbose = verbose and self.process_index == 0
         steps_per_iter = env.num_envs * self.alg.args.num_steps_per_env
         # critic-only warmup after a resume (resume-shock mitigation)
         wi = self.runner_args.critic_warmup_iters
         if wi > 0 and self.runner_args.resume:
             wopt = jax.tree.map(jnp.asarray,
                                 self.alg.warmup_tx.init(self.train_state.params))
+            if self.distributed:
+                from ..parallel import replicate_global
+                wopt = replicate_global(jax.tree.map(np.asarray, wopt), self.mesh)
             for w in range(wi):
                 self.key, k = jax.random.split(self.key)
+                if self.distributed:
+                    k = replicate_global(k, self.mesh)
                 (self.train_state, self.env_state, self.obs_dict, wm,
                  wopt) = self.alg.warmup_iteration_jit(
                     self.train_state, self.env_state, self.obs_dict, k, wopt)
@@ -190,6 +252,11 @@ class Runner:
                 jax.profiler.stop_trace()
                 print(f"profiler trace written to {profile_dir}")
             self.key, k = jax.random.split(self.key)
+            if self.distributed:
+                # every process splits the same host key chain; lift the
+                # iteration key to a global replicated array
+                from ..parallel import replicate_global
+                k = replicate_global(k, self.mesh)
             self.train_state, self.env_state, self.obs_dict, metrics = \
                 self.alg.train_iteration_jit(self.train_state, self.env_state,
                                              self.obs_dict, k,
@@ -197,7 +264,10 @@ class Runner:
             self.tot_timesteps += steps_per_iter
 
             video = metrics.pop("video", None)
-            vint = self.runner_args.save_video_interval
+            # training video needs a host fetch of env0 kinematics, which may
+            # not be addressable from every process — off in distributed runs
+            vint = (0 if self.distributed
+                    else self.runner_args.save_video_interval)
             if vint and self.logdir and video is not None:
                 # keep the trailing video_frames of env0's (T,·) kinematics as
                 # device arrays (no host sync); render on video iterations
@@ -235,7 +305,7 @@ class Runner:
                         + cfg.curriculum_thresholds.cl_switch_delta,
                         cfg.curriculum_thresholds.cl_goal_target_dist)
                     self.env_state = self.env_state._replace(
-                        target_dist=jnp.asarray(new_dist, jnp.float32))
+                        target_dist=self._rep(new_dist))
                     self._reached_window.clear()
                 down = getattr(cfg.curriculum_thresholds,
                                "cl_downstep_threshold", 0.0)
@@ -247,7 +317,7 @@ class Runner:
                         - cfg.curriculum_thresholds.cl_switch_delta,
                         cfg.curriculum_thresholds.cl_start_target_dist)
                     self.env_state = self.env_state._replace(
-                        target_dist=jnp.asarray(new_dist, jnp.float32))
+                        target_dist=self._rep(new_dist))
                     self._reached_window.clear()
 
             if (it % self.runner_args.log_freq == 0) or it == num_learning_iterations - 1:

@@ -227,17 +227,49 @@ def _segment_cost(a, b, objective: str, pose_cost) -> float:
     return path_cost(np.stack([a, b]), objective, pose_cost)
 
 
+def _informed_sample(rng, start, goal, c_best, lo, hi):
+    """Sample (x, y, z) inside the prolate hyperspheroid of transverse
+    diameter ``c_best`` and foci start/goal (Informed RRT*, Gammell et al.);
+    yaw stays uniform. Used once a first solution bounds the useful set."""
+    c_min = np.linalg.norm(goal[:3] - start[:3])
+    if not np.isfinite(c_best) or c_best <= c_min + 1e-9:
+        return None
+    centre = 0.5 * (start[:3] + goal[:3])
+    a1 = (goal[:3] - start[:3]) / c_min
+    # rotation taking e1 -> a1 (Householder-ish via SVD of outer product)
+    M = np.outer(a1, np.array([1.0, 0.0, 0.0]))
+    U, _, Vt = np.linalg.svd(M)
+    C = U @ np.diag([1.0, 1.0, np.linalg.det(U) * np.linalg.det(Vt)]) @ Vt
+    r = np.array([c_best / 2.0,
+                  np.sqrt(c_best ** 2 - c_min ** 2) / 2.0,
+                  np.sqrt(c_best ** 2 - c_min ** 2) / 2.0])
+    # uniform in unit ball
+    while True:
+        b = rng.uniform(-1.0, 1.0, 3)
+        if np.dot(b, b) <= 1.0:
+            break
+    xyz = C @ (r * b) + centre
+    if np.any(xyz < lo[:3]) or np.any(xyz > hi[:3]):
+        return None
+    return np.concatenate([xyz, [rng.uniform(lo[3], hi[3])]])
+
+
 def plan_star(elevation_map, start, goal, horizontal_scale,
               max_iters: int = 2000, step_size: float = 0.15,
               goal_bias: float = 0.2, seed: int = 0,
               objective: str = "pathlength",
               pose_cost: PoseCostGrid | None = None,
-              gamma: float = 1.5):
+              gamma: float = 1.5, informed: bool = False):
     """Asymptotically-optimal RRT* over (x, y, z, yaw) with the same
     optimization objectives the reference gives OMPL's RRT*/PRM*/BIT*
     (reference planner.py:156-228,405-424): choose-parent and rewire both
     minimize cost-to-come under ``objective``, with the near-radius
     shrinking as gamma * (log n / n)^(1/4).
+
+    ``informed=True`` adds Informed-RRT* sampling (reference menu
+    "informedrrtstar", planner.py:163-164): once a first solution exists and
+    the objective is pathlength, samples are drawn from the prolate
+    hyperspheroid that can still improve it.
 
     Returns (path (L,4), cost) or (None, inf). Unlike ``plan`` (feasible
     RRT + objective-improving shortcut), this keeps optimizing the tree
@@ -263,9 +295,15 @@ def plan_star(elevation_map, start, goal, horizontal_scale,
     parents = [-1]
     costs = [0.0]           # cost-to-come under the objective
     goal_ids = []           # nodes within connection range of the goal
+    c_best = float("inf")   # best goal-path length (informed bound)
 
     for _ in range(max_iters):
-        target = goal if rng.rand() < goal_bias else rng.uniform(lo, hi)
+        target = None
+        if informed and goal_ids and objective == "pathlength" and \
+                rng.rand() >= goal_bias:
+            target = _informed_sample(rng, start, goal, c_best, lo, hi)
+        if target is None:
+            target = goal if rng.rand() < goal_bias else rng.uniform(lo, hi)
         pts = np.stack(nodes)
         d = np.linalg.norm(pts[:, :3] - target[:3], axis=1)
         ni = int(np.argmin(d))
@@ -306,6 +344,8 @@ def plan_star(elevation_map, start, goal, horizontal_scale,
         if np.linalg.norm(new[:3] - goal[:3]) < step_size and \
                 _segment_valid(valid, new, goal):
             goal_ids.append(new_id)
+            c_best = min(c_best,
+                         best_c + np.linalg.norm(new[:3] - goal[:3]))
 
     if not goal_ids:
         return None, float("inf")
@@ -366,11 +406,14 @@ def plan(elevation_map, start, goal, horizontal_scale, max_iters: int = 2000,
             continue
         new = near + direction * min(step_size / dist, 1.0)
         new[3] = np.arctan2(np.sin(new[3]), np.cos(new[3]))
-        if not valid(new):
+        # segment check, not just the endpoint — a bare endpoint test lets
+        # 0.15 m extensions hop clean over thin (2-cell) walls
+        if not (valid(new) and _segment_valid(valid, near, new)):
             continue
         nodes.append(new)
         parents.append(ni)
-        if np.linalg.norm(new[:3] - goal[:3]) < step_size:
+        if np.linalg.norm(new[:3] - goal[:3]) < step_size and \
+                _segment_valid(valid, new, goal):
             path = [goal, new]
             k = ni
             while k >= 0:
@@ -382,3 +425,217 @@ def plan(elevation_map, start, goal, horizontal_scale, max_iters: int = 2000,
                                 iters=shortcut_iters, seed=seed)
             return raw
     return None
+
+
+def plan_prm_star(elevation_map, start, goal, horizontal_scale,
+                  num_samples: int = 600, seed: int = 0,
+                  objective: str = "pathlength",
+                  pose_cost: PoseCostGrid | None = None,
+                  k_scale: float = 1.0):
+    """PRM* over (x, y, z, yaw) (reference menu "prmstar", planner.py:166-167).
+
+    Batch-samples a roadmap of valid poses, connects each node to its
+    k* = k_scale * e * (1 + 1/d) * log(n) nearest neighbours, and runs lazy
+    Dijkstra from start to goal under ``objective`` — edges are
+    collision-checked only when first relaxed (Lazy-PRM evaluation order),
+    which skips most of the O(n k) segment checks on easy maps.
+
+    Returns (path (L,4), cost) or (None, inf).
+    """
+    import heapq
+
+    rng = np.random.RandomState(seed)
+    hs = horizontal_scale
+    nx, ny = elevation_map.shape[1:]
+    lo = np.array([0.0, 0.0, 0.05, -np.pi])
+    hi = np.array([nx * hs, ny * hs, 0.6, np.pi])
+
+    start = np.asarray(start, dtype=np.float64)
+    goal = np.asarray(goal, dtype=np.float64)
+
+    def valid(p):
+        return _pose_valid(elevation_map, hs, p[0], p[1], p[2], p[3])
+
+    if not valid(start) or not valid(goal):
+        return None, float("inf")
+
+    nodes = [start, goal]
+    while len(nodes) < num_samples + 2:
+        cand = rng.uniform(lo, hi)
+        if valid(cand):
+            nodes.append(cand)
+    pts = np.stack(nodes)
+    n = len(nodes)
+    # PRM* connection count in d=3 (yaw is free): e*(1+1/3)*log n
+    k = max(int(np.ceil(k_scale * np.e * (1.0 + 1.0 / 3.0) * np.log(n))), 4)
+    d2 = np.linalg.norm(pts[:, None, :3] - pts[None, :, :3], axis=-1)
+    np.fill_diagonal(d2, np.inf)
+    knn = np.argsort(d2, axis=1)[:, :k]
+
+    dist = np.full(n, np.inf)
+    dist[0] = 0.0
+    prev = np.full(n, -1, dtype=int)
+    checked: dict[tuple[int, int], bool] = {}
+    heap = [(0.0, 0)]
+    while heap:
+        c, i = heapq.heappop(heap)
+        if c > dist[i]:
+            continue
+        if i == 1:      # goal reached with settled cost
+            break
+        for j in knn[i]:
+            j = int(j)
+            nc = c + _segment_cost(nodes[i], nodes[j], objective, pose_cost)
+            if nc >= dist[j]:
+                continue
+            key = (min(i, j), max(i, j))
+            ok = checked.get(key)
+            if ok is None:
+                ok = _segment_valid(valid, nodes[i], nodes[j])
+                checked[key] = ok
+            if not ok:
+                continue
+            dist[j] = nc
+            prev[j] = i
+            heapq.heappush(heap, (nc, j))
+
+    if not np.isfinite(dist[1]):
+        return None, float("inf")
+    path = [1]
+    while path[-1] != 0:
+        path.append(int(prev[path[-1]]))
+    out = np.stack([nodes[i] for i in path[::-1]])
+    return out, float(dist[1])
+
+
+def plan_rrt_connect(elevation_map, start, goal, horizontal_scale,
+                     max_iters: int = 2000, step_size: float = 0.3,
+                     seed: int = 0, objective: str = "pathlength",
+                     pose_cost: PoseCostGrid | None = None,
+                     shortcut_iters: int = 100):
+    """Bidirectional RRT-Connect (reference menu "rrtconnect",
+    planner.py:171-175 — the reference also sets range 0.3 there, matched by
+    the ``step_size`` default). Feasible-path planner: alternating trees with
+    a greedy connect extension, then objective-improving shortcut smoothing
+    (the reference relies on OMPL's optimizing variants for cost; RRTConnect
+    there returns the raw feasible path).
+
+    Returns (path (L,4), cost) or (None, inf).
+    """
+    rng = np.random.RandomState(seed)
+    hs = horizontal_scale
+    nx, ny = elevation_map.shape[1:]
+    lo = np.array([0.0, 0.0, 0.05, -np.pi])
+    hi = np.array([nx * hs, ny * hs, 0.6, np.pi])
+
+    start = np.asarray(start, dtype=np.float64)
+    goal = np.asarray(goal, dtype=np.float64)
+
+    def valid(p):
+        return _pose_valid(elevation_map, hs, p[0], p[1], p[2], p[3])
+
+    if not valid(start) or not valid(goal):
+        return None, float("inf")
+
+    trees = [{"nodes": [start], "parents": [-1]},
+             {"nodes": [goal], "parents": [-1]}]
+
+    def extend(tree, target):
+        """One step toward target; returns (status, new_id)."""
+        pts = np.stack(tree["nodes"])
+        d = np.linalg.norm(pts[:, :3] - target[:3], axis=1)
+        ni = int(np.argmin(d))
+        near = tree["nodes"][ni]
+        diff = target - near
+        diff[3] = np.arctan2(np.sin(diff[3]), np.cos(diff[3]))
+        dist = np.linalg.norm(diff[:3])
+        if dist < 1e-9:
+            return "reached", ni
+        new = near + diff * min(step_size / dist, 1.0)
+        new[3] = np.arctan2(np.sin(new[3]), np.cos(new[3]))
+        if not (valid(new) and _segment_valid(valid, near, new)):
+            return "trapped", -1
+        tree["nodes"].append(new)
+        tree["parents"].append(ni)
+        nid = len(tree["nodes"]) - 1
+        if dist <= step_size:
+            return "reached", nid
+        return "advanced", nid
+
+    def connect(tree, target):
+        """Greedy repeated extend toward target (the Connect heuristic)."""
+        while True:
+            status, nid = extend(tree, target)
+            if status != "advanced":
+                return status, nid
+
+    def walk(tree, i):
+        path = []
+        while i >= 0:
+            path.append(tree["nodes"][i])
+            i = tree["parents"][i]
+        return path
+
+    a, b = 0, 1
+    for _ in range(max_iters):
+        target = rng.uniform(lo, hi)
+        status, nid = extend(trees[a], target)
+        if status != "trapped":
+            probe = trees[a]["nodes"][nid]
+            status_b, nid_b = connect(trees[b], probe)
+            if status_b == "reached":
+                pa = walk(trees[a], nid)[::-1]      # start tree: root..probe
+                pb = walk(trees[b], nid_b)          # goal tree: meet..root
+                full = pa + pb
+                if a == 1:                          # trees were swapped
+                    full = full[::-1]
+                raw = np.stack(full)
+                if shortcut_iters > 0:
+                    raw = shortcut(raw, valid, objective, pose_cost,
+                                   iters=shortcut_iters, seed=seed)
+                return raw, path_cost(raw, objective, pose_cost)
+        a, b = b, a
+    return None, float("inf")
+
+
+def _plan_feasible(elevation_map, start, goal, horizontal_scale, **kw):
+    p = plan(elevation_map, start, goal, horizontal_scale, **kw)
+    if p is None:
+        return None, float("inf")
+    return p, path_cost(p, kw.get("objective", "pathlength"),
+                        kw.get("pose_cost"))
+
+
+# Native planner menu mirroring the reference's allocatePlanner
+# (planner.py:156-178). The OMPL batch/marching planners (BIT*, FMT*, BFMT*)
+# are served by PRM* — the same batch-sampled asymptotically-optimal roadmap
+# family — and SORRT* by Informed-RRT*, its direct ancestor; each alias keeps
+# the reference's planner NAME valid with the closest native algorithm.
+_PLANNERS = {
+    "rrt": _plan_feasible,
+    "rrtconnect": plan_rrt_connect,
+    "rrtstar": plan_star,
+    "informedrrtstar": lambda *a, **k: plan_star(*a, informed=True, **k),
+    "sorrtstar": lambda *a, **k: plan_star(*a, informed=True, **k),
+    "prmstar": plan_prm_star,
+    "bitstar": plan_prm_star,
+    "fmtstar": plan_prm_star,
+    "bfmtstar": plan_prm_star,
+}
+
+
+def allocate_planner(planner_type: str):
+    """Planner factory (reference allocatePlanner, planner.py:156-178).
+
+    Returns ``fn(elevation_map, start, goal, horizontal_scale, *,
+    objective=..., pose_cost=..., seed=..., **planner_kw) -> (path, cost)``
+    where path is (L, 4) [x, y, z, yaw] or None and cost is the objective
+    value (inf on failure). All planners accept the same three objectives
+    ("pathlength" | "trackingerror" | "balanced").
+    """
+    try:
+        return _PLANNERS[planner_type.lower()]
+    except KeyError:
+        raise ValueError(
+            f"Planner-type {planner_type!r} is not implemented in allocation "
+            f"function. Options: {sorted(_PLANNERS)}") from None

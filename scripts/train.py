@@ -300,6 +300,13 @@ def main(args):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        # one process per host; autodetects on TPU pods, or takes the
+        # LTPU_COORDINATOR/LTPU_NUM_PROCESSES/LTPU_PROCESS_ID harness vars
+        from legged_tracking_tpu.parallel import init_distributed
+        pidx, pcnt = init_distributed()
+        print(f"jax.distributed: process {pidx}/{pcnt}, "
+              f"{len(__import__('jax').devices())} global devices")
 
     from legged_tracking_tpu.envs import LeggedEnv
     from legged_tracking_tpu.learn import (ACArgs, ACCnnArgs, ActorCriticCNN,
@@ -347,7 +354,8 @@ def main(args):
                     ac_args=ACArgs(normalize_obs=args.normalize_obs,
                                    max_noise_std=args.max_noise_std),
                     logdir=args.logdir, log_wandb=args.wandb,
-                    seed=args.seed, ac=ac, num_devices=args.num_devices)
+                    seed=args.seed, ac=ac, num_devices=args.num_devices,
+                    distributed=args.distributed)
     if args.reset_action_std is not None:
         # deflate an entropy-inflated policy std on resume (the policy MEAN
         # is unaffected; Adam moments for std keep resuming normally)
@@ -407,9 +415,12 @@ def parse_args(argv=None):
                    help="override the fix-target curriculum cap (published "
                         "4.0; ~3.0 keeps valid_goal targets inside the "
                         "obstacle window)")
-    p.add_argument("--cl_downstep", type=float, default=0.0,
+    p.add_argument("--cl_downstep", type=float, default=0.5,
                    help="step the goal distance BACK when the reach window "
-                        "falls below this (0 = off; beyond-reference safety)")
+                        "falls below this (0 = off). Default ON: without it "
+                        "the frontier abstention trap ends every long run "
+                        "(docs/TRAINING_NOTES.md round 3); only --strategy "
+                        "goal reads it")
     p.add_argument("--cl_dist_mix", type=float, default=0.0,
                    help="fraction of train envs rehearsing at U[cl_start, "
                         "target] goal distances; the curriculum gates on the "
@@ -442,6 +453,11 @@ def parse_args(argv=None):
                    help="trailing held-out envs driven by the deterministic "
                         "policy, excluded from PPO updates")
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-process (multi-host) data parallelism: "
+                        "jax.distributed + global data mesh; envs shard "
+                        "host-locally, params replicate, gradient psum rides "
+                        "ICI within a host and DCN across hosts")
     p.add_argument("--profile_dir", type=str, default=None)
     # rollout-only data collection / large-scale eval of a resumed policy
     # (reference scripts/train.py:278,293)

@@ -124,3 +124,54 @@ def test_plan_star_optimizes_objective():
     # pathlength objective: within 5% of the straight-line optimum
     p2, c2 = plan_star(emap, start, goal, hs, seed=0, max_iters=1200)
     assert c2 < 1.05 * np.linalg.norm(goal[:3] - start[:3])
+
+
+def make_slalom(nx=60, ny=30, hs=0.05, ceiling=0.8):
+    """Two staggered walls with gaps — forces lateral deviation."""
+    emap, hs = make_tunnel(nx, ny, hs, ceiling)
+    emap[1, 20:23, : ny // 2] = 0.7      # wall A: gap on the +y side
+    emap[1, 40:43, ny // 2:] = 0.7       # wall B: gap on the -y side
+    return emap, hs
+
+
+def test_allocate_planner_menu():
+    """Every reference allocatePlanner name (planner.py:156-178) resolves and
+    plans the slalom tunnel under the shared (path, cost) contract; the
+    asymptotically-optimal family lands near the best found cost."""
+    from legged_tracking_tpu.utils.planner import allocate_planner
+
+    emap, hs = make_slalom()
+    start = np.array([0.3, 0.75, 0.27, 0.0])
+    goal = np.array([2.6, 0.75, 0.27, 0.0])
+    names = ["rrt", "rrtconnect", "rrtstar", "informedrrtstar", "sorrtstar",
+             "prmstar", "bitstar", "fmtstar", "bfmtstar"]
+    costs = {}
+    for name in names:
+        path, cost = allocate_planner(name)(emap, start, goal, hs, seed=0)
+        assert path is not None, name
+        assert np.isfinite(cost), name
+        np.testing.assert_allclose(path[0], start)
+        np.testing.assert_allclose(path[-1], goal, atol=0.16)
+        # every segment midpoint stays valid (continuous-path sanity)
+        from legged_tracking_tpu.utils.planner import _pose_valid
+        for a, b in zip(path[:-1], path[1:]):
+            m = 0.5 * (a + b)
+            assert _pose_valid(emap, hs, m[0], m[1], m[2], m[3]), name
+        costs[name] = cost
+    best = min(costs.values())
+    for name in ["rrtstar", "informedrrtstar", "prmstar"]:
+        assert costs[name] < 1.6 * best, (name, costs[name], best)
+    # blocked tunnel: graceful failure across the menu
+    emap2, _ = make_tunnel(blocked=True)
+    for name in ["rrtconnect", "prmstar"]:
+        path, cost = allocate_planner(name)(
+            emap2, start, goal, hs, seed=0,
+            **({"max_iters": 300} if name == "rrtconnect"
+               else {"num_samples": 150}))
+        assert path is None and cost == float("inf"), name
+    # unknown name -> the reference's error message semantics
+    try:
+        allocate_planner("nope")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
