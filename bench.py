@@ -71,6 +71,9 @@ def build(num_envs=None, lane_engine=None):
     # (round-4 A/B; 16 is +3.7% more but clips stretched poses);
     # px is the fused sampler's stage-1 MXU contraction depth
     cfg.sim.patch_x = int(os.environ.get("BENCH_PATCH_X", cfg.sim.patch_x))
+    # Pallas fused obs-scan A/B knob (terrain/pallas_scan.py)
+    cfg.sim.pallas_scan = os.environ.get(
+        "BENCH_PALLAS_SCAN", "1" if cfg.sim.pallas_scan else "0") == "1"
     # pms-strategy A/B knobs: BENCH_PMS=1 turns on the batched 1125-candidate
     # local planner (sampling_based_planning); BENCH_PMS_RESCAN=1 restores
     # the reference's double height-scan per step for comparison

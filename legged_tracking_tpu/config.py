@@ -501,6 +501,13 @@ class SimCfg:
     # 313.1k (32) env-steps/s at the 4096-env bench; set 24 to make clamping
     # provably unreachable.
     patch_y: int = 16
+    # Pallas fused obs-scan kernel (terrain/pallas_scan.py): per-env tile
+    # DMA'd HBM->VMEM + in-kernel one-hot MXU sampling, replacing the
+    # patch row-gather + relayout + nearest contractions (~45 ms/iter of
+    # the 264 ms bench iteration, trace_attribution_r4). OFF until an
+    # on-chip A/B lands (BENCH_PALLAS_SCAN) — never flip a perf default
+    # unmeasured.
+    pallas_scan: bool = False
     # EMA smoothing of the REPORTED contact forces (dynamics untouched):
     # report_t = (1-b)*raw_t + b*report_{t-1} with raw already the substep
     # mean. 0 disables (reference parity: Isaac Gym reports the last raw

@@ -369,6 +369,22 @@ class LeggedEnv:
         th, tw = self.terrain.tiles.shape[2], self.terrain.tiles.shape[3]
         hs = self.terrain.horizontal_scale
 
+        if cfg.sim.pallas_scan:
+            # fused Pallas path: no patch — per-env tile DMA + in-kernel
+            # one-hot sampling (terrain/pallas_scan.py). frames carries
+            # base/cam/origin separately so the kernel reproduces this
+            # function's exact f32 op order (bitwise-equal cells).
+            from ..terrain.pallas_scan import scan_heights_pallas
+            cam = (cam_xy if cfg.env.camera_zero
+                   else jnp.zeros((N, 2), jnp.float32))
+            frames = jnp.stack(
+                [base_pos[:, :2], cam,
+                 self.terrain.env_terrain_origin[:, :2]], axis=1)
+            h = scan_heights_pallas(self.terrain.tiles, self.terrain.env_tile,
+                                    frames, self.height_points, hs,
+                                    interpret=jax.default_backend() == "cpu")
+            return h.reshape(N, 2, nx, ny)
+
         patch, xs, ys = extract_patches_batched(
             self.terrain, self.terrain.env_tile, self.terrain.env_terrain_origin,
             base_pos[:, :2], self._scan_patch_x, self._scan_patch_y)

@@ -96,6 +96,7 @@ def build_cfg(args):
     cfg.rewards.only_positive_rewards = args.only_positive
     cfg.rewards.only_positive_rewards_ji22_style = not args.only_positive
     cfg.rewards.sigma_rew_neg = args.sigma_rew_neg
+    cfg.sim.contact_report_ema = args.contact_ema
 
     rs = cfg.reward_scales
     # zero out tunnel-task defaults
@@ -229,6 +230,10 @@ def parse_args(argv=None):
     # docs/TRAINING_NOTES.md for why a larger sigma_rew_neg or an
     # only_positive warm-up helps cold starts on this engine)
     p.add_argument("--sigma_rew_neg", type=float, default=0.02)
+    p.add_argument("--contact_ema", type=float, default=0.0,
+                   help="EMA smoothing of reported contact forces "
+                        "(SimCfg.contact_report_ema; ji22 contact-texture "
+                        "experiment, docs/TRAINING_NOTES.md round 4)")
     p.add_argument("--entropy_coef", type=float, default=0.01)
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--reset_action_std", type=float, default=None)

@@ -211,3 +211,24 @@ def test_sampling_planner_stored_scan():
     # the planner actually planned: local target differs from raw waypoint
     # for at least the planning envs, and plan_length advanced
     assert state.local_target_poses.shape == (4, 6)
+
+
+def test_pallas_scan_env_obs_match():
+    """sim.pallas_scan swaps the obs-scan implementation only: observations
+    must match the patch path exactly (same bf16-quantized table)."""
+    cfg_a = make_cfg(terrain="single_path", num_envs=4)
+    cfg_b = make_cfg(terrain="single_path", num_envs=4)
+    cfg_b.sim.pallas_scan = True
+    env_a, env_b = LeggedEnv(cfg_a), LeggedEnv(cfg_b)
+    sa = env_a._reset_jit(jax.random.key(0), False)
+    sb = env_b._reset_jit(jax.random.key(0), False)
+    oa = env_a._observe_jit(sa)
+    ob = env_b._observe_jit(sb)
+    np.testing.assert_allclose(np.asarray(oa["obs"]), np.asarray(ob["obs"]),
+                               rtol=0, atol=1e-6)
+    a = jnp.full((4, 12), 0.03)
+    for _ in range(3):
+        sa, outa = env_a._step_jit(sa, a)
+        sb, outb = env_b._step_jit(sb, a)
+    np.testing.assert_allclose(np.asarray(outa.obs), np.asarray(outb.obs),
+                               rtol=0, atol=1e-6)

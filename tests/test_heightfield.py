@@ -188,3 +188,51 @@ def test_patch_narrow_x_matches_full():
                                rtol=0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out[16][1]), np.asarray(out[32][1]),
                                rtol=0, atol=1e-6)
+
+
+def test_pallas_scan_matches_patch_nearest():
+    """Pallas fused scan kernel (interpret mode on CPU) == the patch-based
+    nearest path for grid points around each base, including off-tile points
+    (both clamp to the tile edge)."""
+    from legged_tracking_tpu.terrain.heightfield import (
+        sample_patch_nearest_fused, transpose_patch)
+    from legged_tracking_tpu.terrain.pallas_scan import scan_heights_pallas
+
+    t = make_terrain()
+    rng = np.random.RandomState(7)
+    N = 8
+    base = np.asarray(t.env_origin)[:, :2] + rng.uniform(-0.2, 0.2, (N, 2))
+    gx, gy = np.meshgrid(np.linspace(-1, 1, 21), np.linspace(-0.5, 0.5, 11),
+                         indexing="ij")
+    grid = np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)  # (P,2)
+    pts = jnp.asarray(base[:, None, :] + grid[None])                  # (N,P,2)
+
+    th, tw = t.tiles.shape[2], t.tiles.shape[3]
+    pb, xs, ys = extract_patches_batched(
+        t, t.env_tile, t.env_terrain_origin, jnp.asarray(base), 64, 40)
+    ref = jax.vmap(sample_patch_nearest_fused,
+                   in_axes=(0, 0, 0, None, None, None, 0, 0))(
+        transpose_patch(pb), xs, ys, t.horizontal_scale, th, tw,
+        t.env_terrain_origin, pts)                                    # (N,P,2)
+    ref = jnp.moveaxis(ref, -1, 1)                                    # (N,2,P)
+
+    def frames_for(b):
+        return jnp.stack([b, jnp.zeros_like(b), t.env_terrain_origin[:, :2]],
+                         axis=1)
+
+    out = scan_heights_pallas(t.tiles, t.env_tile, frames_for(jnp.asarray(base)),
+                              jnp.asarray(grid), t.horizontal_scale,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+
+    # off-tile robustness: a base far beyond the tile clamps to the edge
+    far = jnp.asarray(base) + jnp.asarray([10.0, 10.0])
+    out_far = scan_heights_pallas(
+        t.tiles, t.env_tile, frames_for(far),
+        jnp.asarray(grid), t.horizontal_scale, interpret=True)
+    edge = t.tiles.astype(jnp.bfloat16).astype(jnp.float32)[
+        t.env_tile][:, :, -2, -2]                                     # (N,2)
+    np.testing.assert_allclose(np.asarray(out_far),
+                               np.broadcast_to(np.asarray(edge)[:, :, None],
+                                               out_far.shape), atol=1e-6)

@@ -59,8 +59,7 @@ def ledger(env, policy: str, steps: int = 100, seed: int = 0):
     sums = np.asarray(state.episode_sums) - prev_sums
     per_step = {n: float(sums[:, i].mean()) / steps
                 for i, n in enumerate(env.metric_names)}
-    neg = per_step.get("neg", sum(v for k2, v in per_step.items()
-                                  if v < 0 and k2 not in ("total", "pos", "neg")))
+    neg = per_step.get("total_neg", 0.0)
     return per_step, neg
 
 
@@ -77,8 +76,8 @@ def main():
             names = sorted(stand, key=lambda n: stand[n])
             for n in names:
                 print(f"{n:35s} {stand[n]:10.4f} {rand[n]:10.4f}")
-        s_neg = stand.get("neg", 0.0)
-        r_neg = rand.get("neg", 0.0)
+        s_neg = stand.get("total_neg", 0.0)
+        r_neg = rand.get("total_neg", 0.0)
         print(f"\nema={ema}: stance neg/step {s_neg:.4f} "
               f"(ji22 factor {np.exp(s_neg / 0.02):.3g}) | "
               f"random neg/step {r_neg:.4f} "
