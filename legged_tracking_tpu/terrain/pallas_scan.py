@@ -41,7 +41,7 @@ def _scan_kernel(tile_ids_ref,       # SMEM (N,) int32 — scalar prefetch
                  out_ref,            # VMEM (B, 2, P) f32
                  tile_buf,           # VMEM (2, 2, h, w) bf16 scratch
                  sems,               # DMA semaphores (2,)
-                 *, h, w, hs):
+                 *, h, w, hp, wp, hs):
     i = pl.program_id(0)
     B = out_ref.shape[0]
     P = grid_ref.shape[0]
@@ -76,10 +76,12 @@ def _scan_kernel(tile_ids_ref,       # SMEM (N,) int32 — scalar prefetch
         # clip makes negatives land on cell 0 either way
         x0 = jnp.clip(lx.astype(jnp.int32), 0, h - 2)
         y0 = jnp.clip(ly.astype(jnp.int32), 0, w - 2)
-        Hx = (jax.lax.broadcasted_iota(jnp.int32, (P, h), 1)
-              == x0[:, None]).astype(jnp.bfloat16)        # (P, h)
-        Hy = (jax.lax.broadcasted_iota(jnp.int32, (P, w), 1)
-              == y0[:, None]).astype(jnp.float32)         # (P, w)
+        # one-hots span the PADDED dims (hp, wp) to match the buffer; the
+        # clip above keeps every hit inside the real (h, w) region
+        Hx = (jax.lax.broadcasted_iota(jnp.int32, (P, hp), 1)
+              == x0[:, None]).astype(jnp.bfloat16)        # (P, hp)
+        Hy = (jax.lax.broadcasted_iota(jnp.int32, (P, wp), 1)
+              == y0[:, None]).astype(jnp.float32)         # (P, wp)
         a_ceil = jnp.dot(Hx, tile_buf[slot, 0],
                          preferred_element_type=jnp.float32)   # (P, w)
         a_floor = jnp.dot(Hx, tile_buf[slot, 1],
@@ -110,9 +112,16 @@ def scan_heights_pallas(tiles, env_tile, frames, grid_pts, hs: float,
         env_tile = jnp.concatenate([env_tile, jnp.zeros(n_pad, env_tile.dtype)])
         frames = jnp.concatenate([frames, jnp.zeros((n_pad, 3, 2), frames.dtype)])
     npad = N + n_pad
+    # Mosaic DMA slices need the minor dim 128-aligned and the sublane dim
+    # aligned to the bf16 tile (16); pad the (constant) table once — XLA
+    # constant-folds this at compile time
+    wp = -(-w // 128) * 128
+    hp = -(-h // 16) * 16
+    if (wp, hp) != (w, h):
+        tiles = jnp.pad(tiles, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
 
     out = pl.pallas_call(
-        functools.partial(_scan_kernel, h=h, w=w, hs=hs),
+        functools.partial(_scan_kernel, h=h, w=w, hp=hp, wp=wp, hs=hs),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(npad // B,),
@@ -126,7 +135,7 @@ def scan_heights_pallas(tiles, env_tile, frames, grid_pts, hs: float,
             out_specs=pl.BlockSpec((B, 2, P), lambda i, *_: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, 2, h, w), jnp.bfloat16),
+                pltpu.VMEM((2, 2, hp, wp), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),

@@ -31,19 +31,26 @@ def make_tunnel(rng, nx=80, ny=30, hs=0.05, ceiling=0.8):
     attempts; the filter rejects only rare edge geometries)."""
     from legged_tracking_tpu.utils.planner import valid_checking
 
+    from legged_tracking_tpu.utils.planner import _pose_valid
+
     start = np.array([-1.6, 0, 0.27, 0, 0, 0, 1.0])
     goal = np.array([1.6, 0, 0.27, 0, 0, 0, 1.0])
     for _ in range(50):
         emap = np.zeros((2, nx, ny))
         emap[0] = ceiling
-        for i, slot in enumerate((20, 42, 64)):
+        # wall slots keep >=0.45 m of clearance to start (0.4 m) and goal
+        # (3.6 m): the robot half-LENGTH is 0.38 m, so endpoints nearer a
+        # wall row are invalid poses, not hard tunnels
+        for i, slot in enumerate((19, 38, 57)):
             x = slot + rng.randint(-1, 2)
             free = rng.randint(12, 16)          # 0.60-0.75 m gap
             if i % 2 == 0:
                 emap[1, x:x + 2, :ny - free] = 0.7
             else:
                 emap[1, x:x + 2, free:] = 0.7
-        if valid_checking(emap, start, goal, 4.0, 1.5, 0.5, hs):
+        if (_pose_valid(emap, hs, 0.4, 0.75, 0.27, 0.0)
+                and _pose_valid(emap, hs, 3.6, 0.75, 0.27, 0.0)
+                and valid_checking(emap, start, goal, 4.0, 1.5, 0.5, hs)):
             return emap, hs
     raise RuntimeError("no traversable slalom found in 50 attempts")
 
