@@ -501,6 +501,13 @@ class SimCfg:
     # 313.1k (32) env-steps/s at the 4096-env bench; set 24 to make clamping
     # provably unreachable.
     patch_y: int = 16
+    # granule-aligned patch extraction (heightfield.py
+    # extract_patches_batched_granule): gather whole bf16 (16,128) tile
+    # granules instead of 80 B rows (~25x HBM read amplification in the row
+    # gather — 33 ms/iter at the 4096 bench, trace_attribution_r4). The
+    # wider window is free downstream (sampler K pads to 128 regardless).
+    # OFF until an on-chip A/B lands (BENCH_GRANULE).
+    granule_gather: bool = False
     # Pallas fused obs-scan kernel (terrain/pallas_scan.py): per-env tile
     # DMA'd HBM->VMEM + in-kernel one-hot MXU sampling, replacing the
     # patch row-gather + relayout + nearest contractions (~45 ms/iter of

@@ -149,6 +149,11 @@ class LeggedEnv:
         hs_ = cfg.terrain.horizontal_scale
         self._scan_patch_x = int(2 ** np.ceil(np.log2(2 * span_x / hs_ + 2)))
         self._scan_patch_y = int(2 ** np.ceil(np.log2(2 * span_y / hs_ + 2)))
+        # granule-aligned gather A/B knob (SimCfg.granule_gather)
+        from ..terrain.heightfield import extract_patches_batched_granule
+        self._extract_patches = (extract_patches_batched_granule
+                                 if cfg.sim.granule_gather
+                                 else extract_patches_batched)
 
         # jitted entry points (host convenience API)
         self._step_jit = jax.jit(self.step_fn, donate_argnums=(0,))
@@ -385,7 +390,7 @@ class LeggedEnv:
                                     interpret=jax.default_backend() == "cpu")
             return h.reshape(N, 2, nx, ny)
 
-        patch, xs, ys = extract_patches_batched(
+        patch, xs, ys = self._extract_patches(
             self.terrain, self.terrain.env_tile, self.terrain.env_terrain_origin,
             base_pos[:, :2], self._scan_patch_x, self._scan_patch_y)
         if cfg.sim.fused_sampling:
@@ -497,7 +502,7 @@ class LeggedEnv:
         carry0 = (state.act, state.motor_strength, state.motor_offset,
                   state.kp_factor, state.kd_factor, actions_scaled)
 
-        patches = extract_patches_batched(
+        patches = self._extract_patches(
             terrain, terrain.env_tile, terrain.env_terrain_origin,
             state.phys.base_pos[:, :2], px=cfg.sim.patch_x,
             py=cfg.sim.patch_y)

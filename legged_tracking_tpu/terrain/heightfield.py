@@ -176,6 +176,64 @@ def extract_patches_batched(terrain: TerrainArrays, env_tile, env_terrain_origin
     return patch.astype(jnp.bfloat16), xs, ys
 
 
+def extract_patches_batched_granule(terrain: TerrainArrays, env_tile,
+                                    env_terrain_origin, base_xy,
+                                    px: int = PATCH, py: int = PATCH):
+    """Granule-aligned variant of ``extract_patches_batched``.
+
+    The row gather above fetches 80 B rows that each straddle a 2-4 KB
+    physical tile granule (~25x HBM read amplification — the 33 ms/iter item
+    in docs/bench_logs/trace_attribution_r4.txt). Here the table is
+    reshaped so ONE gather index fetches ONE bf16 (16, 128) granule exactly:
+    tiles pad to (T, 2, h16, 128) bf16 and view as (T*2*h16/16, 16, 128);
+    gathering ceil(px/16)+1 consecutive granules per env covers any px-row
+    window with zero partial-granule reads. The wider rows (w -> 128) and
+    extra rows are free downstream: the samplers' MXU contractions pad K to
+    128 regardless.
+
+    Same contract: (patch (N, 2, PX, py) bf16, xs (N,), ys (N,)) with
+    PX = 16 * n_granules rows starting at row ``xs`` (xs is granule-aligned
+    here; samplers only use xs as the patch's global row offset).
+    """
+    tiles = terrain.tiles
+    T = tiles.shape[0]
+    h, w = tiles.shape[2], tiles.shape[3]
+    hs = terrain.horizontal_scale
+    h16 = -(-h // 16) * 16
+    wp = 128
+    n_gran_tile = h16 // 16
+    n_gran = min(-(-px // 16) + 1, n_gran_tile)
+
+    local = (base_xy - env_terrain_origin[:, :2]) / hs
+    xs_raw = jnp.clip(local[:, 0].astype(jnp.int32) - px // 2, 0, max(h - px, 0))
+    ys = jnp.clip(local[:, 1].astype(jnp.int32) - py // 2, 0, max(w - py, 0))
+    g0 = jnp.clip(xs_raw // 16, 0, n_gran_tile - n_gran)        # (N,)
+
+    # constant-folded at compile: pad rows to the granule grid, bf16 (see
+    # the rounding note in extract_patches_batched), view as granules. Edge
+    # rows replicate (same clamp semantics as the row path).
+    tp = tiles.astype(jnp.bfloat16)
+    if h16 != h:
+        tp = jnp.concatenate(
+            [tp, jnp.repeat(tp[:, :, -1:, :], h16 - h, axis=2)], axis=2)
+    tp = jnp.pad(tp, ((0, 0), (0, 0), (0, 0), (0, wp - w)), mode="edge")
+    grans = tp.reshape(T * 2 * n_gran_tile, 16, wp)
+
+    gidx = ((env_tile[:, None, None] * 2
+             + jnp.arange(2, dtype=env_tile.dtype)[None, :, None]) * n_gran_tile
+            + g0[:, None, None]
+            + jnp.arange(n_gran, dtype=env_tile.dtype)[None, None, :])
+    g = grans[gidx]                                  # (N, 2, n_gran, 16, wp)
+    g = g.reshape(base_xy.shape[0], 2, n_gran * 16, wp)
+    q_idx = jnp.clip(ys[:, None] + jnp.arange(py)[None, :], 0, w - 1)
+    Ey = (jnp.arange(wp)[None, None, :]
+          == q_idx[:, :, None]).astype(jnp.bfloat16)            # (N, py, wp)
+    with jax.default_matmul_precision("bfloat16"):
+        patch = jnp.einsum("nlpw,nqw->nlpq", g, Ey,
+                           preferred_element_type=jnp.float32)
+    return patch.astype(jnp.bfloat16), g0 * 16, ys
+
+
 def sample_patch_nearest(patch, xs, ys, hs, h, w, env_terrain_origin, points_xy):
     """Nearest-cell heights from a robot-local patch — single env.
 

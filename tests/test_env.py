@@ -232,3 +232,23 @@ def test_pallas_scan_env_obs_match():
         sb, outb = env_b._step_jit(sb, a)
     np.testing.assert_allclose(np.asarray(outa.obs), np.asarray(outb.obs),
                                rtol=0, atol=1e-6)
+
+
+def test_granule_gather_env_match():
+    """sim.granule_gather swaps patch extraction only: physics and obs must
+    match the row-gather path exactly (the granule window is a superset of
+    the row window for in-envelope points)."""
+    cfg_a = make_cfg(terrain="single_path", num_envs=4)
+    cfg_b = make_cfg(terrain="single_path", num_envs=4)
+    cfg_b.sim.granule_gather = True
+    env_a, env_b = LeggedEnv(cfg_a), LeggedEnv(cfg_b)
+    sa = env_a._reset_jit(jax.random.key(0), False)
+    sb = env_b._reset_jit(jax.random.key(0), False)
+    a = jnp.full((4, 12), 0.03)
+    for _ in range(3):
+        sa, outa = env_a._step_jit(sa, a)
+        sb, outb = env_b._step_jit(sb, a)
+    np.testing.assert_allclose(np.asarray(sa.phys.base_pos),
+                               np.asarray(sb.phys.base_pos), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(outa.obs), np.asarray(outb.obs),
+                               rtol=0, atol=0)

@@ -236,3 +236,29 @@ def test_pallas_scan_matches_patch_nearest():
     np.testing.assert_allclose(np.asarray(out_far),
                                np.broadcast_to(np.asarray(edge)[:, :, None],
                                                out_far.shape), atol=1e-6)
+
+
+def test_granule_extraction_matches_rows():
+    """Granule-aligned gather == row gather through the bilinear sampler for
+    all in-envelope points (the granule window is a superset, so sampled
+    values must be identical)."""
+    from legged_tracking_tpu.terrain.heightfield import (
+        extract_patches_batched_granule)
+
+    t = make_terrain()
+    rng = np.random.RandomState(11)
+    base = np.asarray(t.env_origin)[:, :2] + rng.uniform(-0.2, 0.2, (8, 2))
+    pts = base[:, None, :] + rng.uniform(-0.45, 0.45, (8, 16, 2))
+    pts = jnp.asarray(pts)
+    th, tw = t.tiles.shape[2], t.tiles.shape[3]
+    outs = {}
+    for name, fn in [("rows", extract_patches_batched),
+                     ("gran", extract_patches_batched_granule)]:
+        pb, xs, ys = fn(t, t.env_tile, t.env_terrain_origin,
+                        jnp.asarray(base), 24, 16)
+        outs[name] = jax.vmap(
+            sample_patch_bilinear, in_axes=(0, 0, 0, None, None, None, 0, 0))(
+            pb, xs, ys, t.horizontal_scale, th, tw, t.env_terrain_origin, pts)
+    for a, b in zip(outs["rows"], outs["gran"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
