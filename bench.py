@@ -71,6 +71,10 @@ def build(num_envs=None, lane_engine=None):
     # (round-4 A/B; 16 is +3.7% more but clips stretched poses);
     # px is the fused sampler's stage-1 MXU contraction depth
     cfg.sim.patch_x = int(os.environ.get("BENCH_PATCH_X", cfg.sim.patch_x))
+    # granule-aligned patch extraction A/B knob
+    # (heightfield.extract_patches_batched_granule)
+    cfg.sim.granule_gather = os.environ.get(
+        "BENCH_GRANULE", "1" if cfg.sim.granule_gather else "0") == "1"
     # Pallas fused obs-scan A/B knob (terrain/pallas_scan.py)
     cfg.sim.pallas_scan = os.environ.get(
         "BENCH_PALLAS_SCAN", "1" if cfg.sim.pallas_scan else "0") == "1"

@@ -506,8 +506,10 @@ class SimCfg:
     # granules instead of 80 B rows (~25x HBM read amplification in the row
     # gather — 33 ms/iter at the 4096 bench, trace_attribution_r4). The
     # wider window is free downstream (sampler K pads to 128 regardless).
-    # OFF until an on-chip A/B lands (BENCH_GRANULE).
-    granule_gather: bool = False
+    # Default ON since the round-4 on-chip A/B: 367.1k vs 356.8k (+2.9%)
+    # at 4096 envs, 401.1k vs 400.4k at 2048; env rollouts bitwise equal
+    # to the row path (tests). BENCH_GRANULE=0 re-runs the A/B.
+    granule_gather: bool = True
     # Pallas fused obs-scan kernel (terrain/pallas_scan.py): per-env tile
     # DMA'd HBM->VMEM + in-kernel one-hot MXU sampling, replacing the
     # patch row-gather + relayout + nearest contractions (~45 ms/iter of
