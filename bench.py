@@ -75,6 +75,9 @@ def build(num_envs=None, lane_engine=None):
     # (heightfield.extract_patches_batched_granule)
     cfg.sim.granule_gather = os.environ.get(
         "BENCH_GRANULE", "1" if cfg.sim.granule_gather else "0") == "1"
+    # whole-tile-LAYER gather A/B knob (extract_patches_batched_layer)
+    cfg.sim.layer_gather = os.environ.get(
+        "BENCH_LAYER", "1" if cfg.sim.layer_gather else "0") == "1"
     # Pallas fused obs-scan A/B knob (terrain/pallas_scan.py)
     cfg.sim.pallas_scan = os.environ.get(
         "BENCH_PALLAS_SCAN", "1" if cfg.sim.pallas_scan else "0") == "1"

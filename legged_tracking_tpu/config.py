@@ -510,6 +510,13 @@ class SimCfg:
     # at 4096 envs, 401.1k vs 400.4k at 2048; env rollouts bitwise equal
     # to the row path (tests). BENCH_GRANULE=0 re-runs the A/B.
     granule_gather: bool = True
+    # gather whole tile LAYERS per env instead of granule windows: 5x fewer
+    # gather indices (the 14.6 ms/iter residual of the granule gather is
+    # per-index overhead, trace_attribution_r4_granule), each a contiguous
+    # 20 KB row with zero amplification; the full-height window costs
+    # nothing downstream (sampler K pads to 128 either way). Only read when
+    # granule_gather is on. A/B knob BENCH_LAYER.
+    layer_gather: bool = False
     # Pallas fused obs-scan kernel (terrain/pallas_scan.py): per-env tile
     # DMA'd HBM->VMEM + in-kernel one-hot MXU sampling, replacing the
     # patch row-gather + relayout + nearest contractions (~45 ms/iter of

@@ -149,11 +149,13 @@ class LeggedEnv:
         hs_ = cfg.terrain.horizontal_scale
         self._scan_patch_x = int(2 ** np.ceil(np.log2(2 * span_x / hs_ + 2)))
         self._scan_patch_y = int(2 ** np.ceil(np.log2(2 * span_y / hs_ + 2)))
-        # granule-aligned gather A/B knob (SimCfg.granule_gather)
-        from ..terrain.heightfield import extract_patches_batched_granule
-        self._extract_patches = (extract_patches_batched_granule
-                                 if cfg.sim.granule_gather
-                                 else extract_patches_batched)
+        # gather-mode A/B knobs (SimCfg.granule_gather / layer_gather)
+        from ..terrain.heightfield import (extract_patches_batched_granule,
+                                           extract_patches_batched_layer)
+        self._extract_patches = (
+            (extract_patches_batched_layer if cfg.sim.layer_gather
+             else extract_patches_batched_granule)
+            if cfg.sim.granule_gather else extract_patches_batched)
 
         # jitted entry points (host convenience API)
         self._step_jit = jax.jit(self.step_fn, donate_argnums=(0,))

@@ -256,9 +256,11 @@ class VelocityTrackingEnv(LeggedEnv):
         carry0 = (state.act, state.motor_strength, state.motor_offset,
                   state.kp_factor, state.kd_factor, actions_scaled)
 
-        from ..terrain.heightfield import extract_patches_batched_granule
-        extract = (extract_patches_batched_granule if cfg.sim.granule_gather
-                   else extract_patches_batched)
+        from ..terrain.heightfield import (extract_patches_batched_granule,
+                                           extract_patches_batched_layer)
+        extract = ((extract_patches_batched_layer if cfg.sim.layer_gather
+                    else extract_patches_batched_granule)
+                   if cfg.sim.granule_gather else extract_patches_batched)
         patches = extract(  # px/py: see SimCfg knob docs
             terrain, terrain.env_tile, terrain.env_terrain_origin,
             state.phys.base_pos[:, :2], px=cfg.sim.patch_x,

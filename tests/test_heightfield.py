@@ -262,3 +262,28 @@ def test_granule_extraction_matches_rows():
     for a, b in zip(outs["rows"], outs["gran"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-6)
+
+
+def test_layer_extraction_matches_rows():
+    """Whole-tile-layer gather == row gather through the bilinear sampler for
+    in-envelope points (full-height window is a superset)."""
+    from legged_tracking_tpu.terrain.heightfield import (
+        extract_patches_batched_layer)
+
+    t = make_terrain()
+    rng = np.random.RandomState(13)
+    base = np.asarray(t.env_origin)[:, :2] + rng.uniform(-0.2, 0.2, (8, 2))
+    pts = base[:, None, :] + rng.uniform(-0.45, 0.45, (8, 16, 2))
+    pts = jnp.asarray(pts)
+    th, tw = t.tiles.shape[2], t.tiles.shape[3]
+    outs = {}
+    for name, fn in [("rows", extract_patches_batched),
+                     ("layer", extract_patches_batched_layer)]:
+        pb, xs, ys = fn(t, t.env_tile, t.env_terrain_origin,
+                        jnp.asarray(base), 24, 16)
+        outs[name] = jax.vmap(
+            sample_patch_bilinear, in_axes=(0, 0, 0, None, None, None, 0, 0))(
+            pb, xs, ys, t.horizontal_scale, th, tw, t.env_terrain_origin, pts)
+    for a, b in zip(outs["rows"], outs["layer"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
