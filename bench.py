@@ -88,6 +88,10 @@ def build(num_envs=None, lane_engine=None):
         cfg.commands.sampling_based_planning = True
         cfg.commands.planner_rescan = os.environ.get(
             "BENCH_PMS_RESCAN", "0") == "1"
+        # BENCH_PMS_DIRECT=1 restores the materialized rotate-and-normalize
+        # candidate scoring (vs the default precomputed quadform matmul)
+        cfg.commands.planner_quadform = os.environ.get(
+            "BENCH_PMS_DIRECT", "0") != "1"
 
     env = LeggedEnv(cfg)
     alg = PPO(env, args=PPOArgs())

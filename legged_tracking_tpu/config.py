@@ -181,6 +181,14 @@ class CommandsCfg:
     # the previous step (EnvState.measured_heights). Only for measuring the
     # single-scan win; keep False.
     planner_rescan: bool = False
+    # candidate collision scoring as a precomputed quadratic form: the
+    # candidates' rotations are yaw-only, so |Rz(-yaw)(p-c)/s|^2 collapses
+    # to f(p)·w_c with f = [x²,y²,z²,xy,x,y,z,1] and w_c host-precomputed —
+    # one f32 matmul per candidate chunk instead of materializing
+    # (N, chunk, 2P, 3) difference tensors (which also CRASH the TPU worker
+    # at 4096 envs from HBM pressure). False restores the direct form for
+    # the A/B (BENCH_PMS_DIRECT).
+    planner_quadform: bool = True
     candidate_target_poses: np.ndarray = _f(
         np.stack(
             np.meshgrid(

@@ -143,6 +143,28 @@ class LeggedEnv:
         self._robot_size = jnp.asarray([0.3762, 0.0935, 0.114])
         n_cand = self._candidate_poses.shape[0]
         self._plan_chunk = next(c for c in (45, 25, 15, 5, 1) if n_cand % c == 0)
+        # quadform weights for candidate collision scoring
+        # (CommandsCfg.planner_quadform): quad(p) = f(p)·w_c with
+        # f = [x², y², z², xy, x, y, z, 1]. The effective yaw is the QUAT
+        # yaw (quat_yaw_only of the full-euler quat — ±15° roll/pitch
+        # shift it ~2° from the euler yaw), matching the direct path.
+        cp = np.asarray(cfg.commands.candidate_target_poses, dtype=np.float64)
+        qc = np.asarray(qt.quat_from_euler_xyz(
+            jnp.asarray(cp[:, 3]), jnp.asarray(cp[:, 4]), jnp.asarray(cp[:, 5])))
+        ye = 2.0 * np.arctan2(qc[:, 2], qc[:, 3])        # quat is (x,y,z,w)
+        ca, sa = np.cos(ye), np.sin(ye)
+        sx, sy, sz = 0.3762, 0.0935, 0.114
+        a = ca ** 2 / sx ** 2 + sa ** 2 / sy ** 2
+        c_ = sa ** 2 / sx ** 2 + ca ** 2 / sy ** 2
+        b = ca * sa * (1.0 / sx ** 2 - 1.0 / sy ** 2)
+        cx, cy, cz = cp[:, 0], cp[:, 1], cp[:, 2]
+        w = np.stack([
+            a, c_, np.full_like(a, 1.0 / sz ** 2), 2.0 * b,
+            -2.0 * (a * cx + b * cy), -2.0 * (b * cx + c_ * cy),
+            -2.0 * cz / sz ** 2,
+            a * cx ** 2 + c_ * cy ** 2 + 2.0 * b * cx * cy + cz ** 2 / sz ** 2,
+        ])                                               # (8, C)
+        self._cand_quad_w = jnp.asarray(w, dtype=jnp.float32)
         # scan patch must cover the measured grid span + camera offset
         span_x = float(np.max(np.abs(cfg.terrain.measured_points_x))) + 0.15
         span_y = float(np.max(np.abs(cfg.terrain.measured_points_y))) + 0.15
@@ -455,15 +477,33 @@ class LeggedEnv:
             measured_heights[:, 0].reshape(base_pos.shape[0], -1, 1)], axis=-1)
         pts2 = pts.at[..., 2].set(measured_heights[:, 1].reshape(base_pos.shape[0], -1))
         pts = jnp.concatenate([pts, pts2], axis=1)          # (N, 2P, 3)
-        cand_quat = qt.quat_from_euler_xyz(cands[:, 3], cands[:, 4], cands[:, 5])  # (C, 4)
 
-        def chunk_valid(carry, idx):
-            cq = jax.lax.dynamic_slice_in_dim(cand_quat, idx, self._plan_chunk, 0)
-            cl = jax.lax.dynamic_slice_in_dim(cands, idx, self._plan_chunk, 0)
-            d = pts[:, None, :, :] - cl[None, :, None, :3]          # (N, c, 2P, 3)
-            d = qt.quat_apply_yaw_inverse(cq[None, :, None, :], d)
-            out = jnp.linalg.norm(d / self._robot_size, axis=-1) > 1.0
-            return carry, jnp.all(out, axis=-1)                      # (N, c)
+        if cfg.commands.planner_quadform:
+            # |Rz(-yaw_c)(p - c)/s|^2 = f(p)·w_c with host-precomputed w_c
+            # (CommandsCfg.planner_quadform) — one f32 matmul per chunk
+            x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+            F = jnp.stack([x * x, y * y, z * z, x * y,
+                           x, y, z, jnp.ones_like(x)], axis=-1)  # (N, 2P, 8)
+            W = self._cand_quad_w                                # (8, C)
+
+            def chunk_valid(carry, idx):
+                wc = jax.lax.dynamic_slice_in_dim(W, idx, self._plan_chunk, 1)
+                with jax.default_matmul_precision("float32"):
+                    q = jnp.einsum("npf,fc->npc", F, wc)         # (N, 2P, c)
+                return carry, jnp.all(q > 1.0, axis=1)           # (N, c)
+        else:
+            cand_quat = qt.quat_from_euler_xyz(
+                cands[:, 3], cands[:, 4], cands[:, 5])           # (C, 4)
+
+            def chunk_valid(carry, idx):
+                cq = jax.lax.dynamic_slice_in_dim(cand_quat, idx,
+                                                  self._plan_chunk, 0)
+                cl = jax.lax.dynamic_slice_in_dim(cands, idx,
+                                                  self._plan_chunk, 0)
+                d = pts[:, None, :, :] - cl[None, :, None, :3]   # (N, c, 2P, 3)
+                d = qt.quat_apply_yaw_inverse(cq[None, :, None, :], d)
+                out = jnp.linalg.norm(d / self._robot_size, axis=-1) > 1.0
+                return carry, jnp.all(out, axis=-1)              # (N, c)
 
         starts = jnp.arange(0, C, self._plan_chunk)
         _, valid = jax.lax.scan(chunk_valid, None, starts)

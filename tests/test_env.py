@@ -252,3 +252,37 @@ def test_granule_gather_env_match():
                                np.asarray(sb.phys.base_pos), rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(outa.obs), np.asarray(outb.obs),
                                rtol=0, atol=0)
+
+
+def test_planner_quadform_matches_direct():
+    """The precomputed quadratic form must reproduce the direct
+    rotate-and-normalize candidate collision test (same math, reorganized;
+    the effective yaw is the QUAT yaw incl. the roll/pitch shift)."""
+    from legged_tracking_tpu.utils import quat as qt
+
+    cfg = make_cfg(terrain="single_path", num_envs=4)
+    cfg.commands.sampling_based_planning = True
+    env = LeggedEnv(cfg)
+    cands = env._candidate_poses
+    rng = np.random.RandomState(3)
+    pts = jnp.asarray(rng.uniform(-1.2, 1.2, (4, 60, 3)).astype(np.float32))
+
+    # direct form (the pre-round-4 path)
+    cq = qt.quat_from_euler_xyz(cands[:, 3], cands[:, 4], cands[:, 5])
+    d = pts[:, None, :, :] - cands[None, :, None, :3]
+    d = qt.quat_apply_yaw_inverse(cq[None, :, None, :], d)
+    quad_direct = jnp.sum(jnp.square(d / env._robot_size), axis=-1)  # (N,C,2P)
+    valid_direct = jnp.all(quad_direct > 1.0, axis=-1)
+
+    # quadform
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    F = jnp.stack([x * x, y * y, z * z, x * y, x, y, z,
+                   jnp.ones_like(x)], axis=-1)
+    q = jnp.einsum("npf,fc->ncp", F, env._cand_quad_w,
+                   precision=jax.lax.Precision.HIGHEST)
+    valid_quad = jnp.all(q > 1.0, axis=-1)
+
+    np.testing.assert_allclose(np.asarray(q), np.asarray(quad_direct),
+                               rtol=2e-4, atol=2e-4)
+    mismatch = int(jnp.sum(valid_direct != valid_quad))
+    assert mismatch == 0, mismatch
