@@ -130,7 +130,7 @@ def scan_heights_pallas(tiles, env_tile, frames, grid_pts, hs: float,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((P, 2), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),   # tiles stay off-chip
+                pl.BlockSpec(memory_space=pl.ANY),      # tiles stay off-chip
             ],
             out_specs=pl.BlockSpec((B, 2, P), lambda i, *_: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
