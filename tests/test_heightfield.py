@@ -287,3 +287,34 @@ def test_layer_extraction_matches_rows():
     for a, b in zip(outs["rows"], outs["layer"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-6)
+
+
+def test_granule_extraction_velocity_terrain_shape():
+    """Granule gather handles non-80x40 tile shapes (velocity terrain is
+    (T, 2, 160, 72): h%16==0 but w needs the 128-pad) — sampled values
+    match the row path."""
+    from legged_tracking_tpu.config import Cfg, config_go1
+    from legged_tracking_tpu.terrain.heightfield import (
+        extract_patches_batched_granule)
+    from legged_tracking_tpu.terrain.legged_gym_terrains import (
+        build_velocity_terrain)
+
+    cfg = config_go1(Cfg())
+    cfg.terrain.mesh_type = "trimesh"
+    t = build_velocity_terrain(cfg.terrain, 8, 3)
+    rng = np.random.RandomState(17)
+    base = np.asarray(t.env_origin)[:, :2] + rng.uniform(-0.3, 0.3, (8, 2))
+    pts = base[:, None, :] + rng.uniform(-0.45, 0.45, (8, 16, 2))
+    pts = jnp.asarray(pts)
+    th, tw = t.tiles.shape[2], t.tiles.shape[3]
+    outs = {}
+    for name, fn in [("rows", extract_patches_batched),
+                     ("gran", extract_patches_batched_granule)]:
+        pb, xs, ys = fn(t, t.env_tile, t.env_terrain_origin,
+                        jnp.asarray(base), 24, 16)
+        outs[name] = jax.vmap(
+            sample_patch_bilinear, in_axes=(0, 0, 0, None, None, None, 0, 0))(
+            pb, xs, ys, t.horizontal_scale, th, tw, t.env_terrain_origin, pts)
+    for a, b in zip(outs["rows"], outs["gran"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
