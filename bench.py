@@ -78,6 +78,11 @@ def build(num_envs=None, lane_engine=None):
     # whole-tile-LAYER gather A/B knob (extract_patches_batched_layer)
     cfg.sim.layer_gather = os.environ.get(
         "BENCH_LAYER", "1" if cfg.sim.layer_gather else "0") == "1"
+    # round-5 interleaved-unit extraction A/B knob (GranuleSampler:
+    # precomputed table + layer-interleaved 8 KB units + transpose-free
+    # fused layout); BENCH_INTERLEAVED=0 reverts to the granule path
+    cfg.sim.interleaved_gather = os.environ.get(
+        "BENCH_INTERLEAVED", "1" if cfg.sim.interleaved_gather else "0") == "1"
     # Pallas fused obs-scan A/B knob (terrain/pallas_scan.py)
     cfg.sim.pallas_scan = os.environ.get(
         "BENCH_PALLAS_SCAN", "1" if cfg.sim.pallas_scan else "0") == "1"
@@ -94,7 +99,12 @@ def build(num_envs=None, lane_engine=None):
             "BENCH_PMS_DIRECT", "0") != "1"
 
     env = LeggedEnv(cfg)
-    alg = PPO(env, args=PPOArgs())
+    # round-5 PPO data-path A/B knobs: BENCH_SHUFFLE=0 restores the sorted
+    # permutation, BENCH_WINDOW=0 restores stored obs-history rows
+    args = PPOArgs(
+        cheap_shuffle=os.environ.get("BENCH_SHUFFLE", "1") == "1",
+        windowed_history=os.environ.get("BENCH_WINDOW", "1") == "1")
+    alg = PPO(env, args=args)
     ts = alg.init(jax.random.key(0))
     env_state = env._reset_jit(jax.random.key(1), True)
     obs = env._observe_jit(env_state)

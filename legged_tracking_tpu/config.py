@@ -286,6 +286,16 @@ class CurriculumThresholdsCfg:
     # FRONTIER slice only (metrics frontier_reached_mean), so rehearsal
     # success cannot advance the curriculum.
     cl_dist_mix: float = 0.0
+    # beyond-reference (round 5): stagnation PROBE for the fix-target
+    # curriculum.  If neither an advance nor a downstep has fired for this
+    # many iterations and the reach window is healthy (>= the downstep
+    # threshold), advance the frontier by cl_switch_delta anyway — the
+    # downstep safety reverts it if the policy cannot hold the new
+    # distance, and best-checkpoint tracking keeps the peak either way.
+    # Kills the round-4 pathology of churning against the 0.8 advance
+    # threshold at one distance for 7000 iterations
+    # (docs/goal_r4_10k_metrics.jsonl).  0 = off.
+    cl_stagnation_probe: int = 0
     # velocity-task thresholds (fraction of max reward per term)
     tracking_lin_vel: float = 0.8
     tracking_ang_vel: float = 0.7
@@ -551,6 +561,17 @@ class SimCfg:
     # poses — measured 2.3 mm base-pos divergence over 60 flailing steps —
     # so it stays an opt-in knob (BENCH_PATCH_X=16) rather than the default.
     patch_x: int = 24
+    # round-5 extraction restructure (heightfield.GranuleSampler): the bf16
+    # granule table is precomputed HOST-SIDE once (the per-step pad/concat
+    # of the tile table cannot constant-fold since tiles are a runtime jit
+    # argument), one gather index fetches a layer-interleaved (rpu, 2, wp)
+    # unit = two contiguous physical granules, and the y-cut einsum's
+    # natural output order is already the fused-sampling layout so the
+    # transpose_patch relayout (11.7 ms/iter) disappears. Requires
+    # lane_engine + fused_sampling (falls back to granule_gather paths
+    # otherwise). Bitwise-equal heights for in-window points (tests).
+    # A/B knob BENCH_INTERLEAVED.
+    interleaved_gather: bool = True
 
 
 @dataclass

@@ -140,7 +140,12 @@ class LeggedEnv:
 
         self._traj_fn = TRAJ_FUNCTIONS[cfg.commands.traj_function]
         self._candidate_poses = jnp.asarray(cfg.commands.candidate_target_poses, dtype=jnp.float32)
-        self._robot_size = jnp.asarray([0.3762, 0.0935, 0.114])
+        # single source for the robot half-extents (reference :1212): feeds
+        # BOTH the direct planner scoring and the quadform precompute below
+        # (tests assert the two paths agree — editing one constant must not
+        # desync them)
+        from ..utils.planner import ROBOT_SIZE
+        self._robot_size = jnp.asarray(ROBOT_SIZE, dtype=jnp.float32)
         n_cand = self._candidate_poses.shape[0]
         self._plan_chunk = next(c for c in (45, 25, 15, 5, 1) if n_cand % c == 0)
         # quadform weights for candidate collision scoring
@@ -153,7 +158,7 @@ class LeggedEnv:
             jnp.asarray(cp[:, 3]), jnp.asarray(cp[:, 4]), jnp.asarray(cp[:, 5])))
         ye = 2.0 * np.arctan2(qc[:, 2], qc[:, 3])        # quat is (x,y,z,w)
         ca, sa = np.cos(ye), np.sin(ye)
-        sx, sy, sz = 0.3762, 0.0935, 0.114
+        sx, sy, sz = (float(v) for v in np.asarray(self._robot_size))
         a = ca ** 2 / sx ** 2 + sa ** 2 / sy ** 2
         c_ = sa ** 2 / sx ** 2 + ca ** 2 / sy ** 2
         b = ca * sa * (1.0 / sx ** 2 - 1.0 / sy ** 2)
@@ -171,13 +176,25 @@ class LeggedEnv:
         hs_ = cfg.terrain.horizontal_scale
         self._scan_patch_x = int(2 ** np.ceil(np.log2(2 * span_x / hs_ + 2)))
         self._scan_patch_y = int(2 ** np.ceil(np.log2(2 * span_y / hs_ + 2)))
-        # gather-mode A/B knobs (SimCfg.granule_gather / layer_gather)
-        from ..terrain.heightfield import (extract_patches_batched_granule,
+        # gather-mode A/B knobs (SimCfg.granule_gather / layer_gather /
+        # interleaved_gather — see SimCfg docstrings for the measured ladder)
+        from ..terrain.heightfield import (GranuleSampler,
+                                           extract_patches_batched_granule,
                                            extract_patches_batched_layer)
-        self._extract_patches = (
-            (extract_patches_batched_layer if cfg.sim.layer_gather
-             else extract_patches_batched_granule)
-            if cfg.sim.granule_gather else extract_patches_batched)
+        self._interleaved = (cfg.sim.interleaved_gather and cfg.sim.lane_engine
+                             and cfg.sim.fused_sampling
+                             and not cfg.sim.pallas_scan)
+        if self._interleaved:
+            sampler = GranuleSampler(self.terrain)
+            hs0 = self.terrain.horizontal_scale
+            self._extract_patches = (
+                lambda terrain, env_tile, origin, base_xy, px=32, py=32:
+                    sampler.extract(env_tile, origin, base_xy, px, py, hs0))
+        else:
+            self._extract_patches = (
+                (extract_patches_batched_layer if cfg.sim.layer_gather
+                 else extract_patches_batched_granule)
+                if cfg.sim.granule_gather else extract_patches_batched)
 
         # jitted entry points (host convenience API)
         self._step_jit = jax.jit(self.step_fn, donate_argnums=(0,))
@@ -420,9 +437,12 @@ class LeggedEnv:
         if cfg.sim.fused_sampling:
             from ..terrain.heightfield import (sample_patch_nearest_fused,
                                                transpose_patch)
+            # interleaved extraction already emits the fused (N, PX, 2*py)
+            # layout; the legacy paths need the one-time relayout
+            pz = patch if patch.ndim == 3 else transpose_patch(patch)
             h = jax.vmap(sample_patch_nearest_fused,
                          in_axes=(0, 0, 0, None, None, None, 0, 0))(
-                transpose_patch(patch), xs, ys, hs, th, tw,
+                pz, xs, ys, hs, th, tw,
                 self.terrain.env_terrain_origin, pts)
         else:
             h = jax.vmap(sample_patch_nearest,
@@ -572,6 +592,7 @@ class LeggedEnv:
         act_state = carry[0]
         torques = aux.torques
         contact_forces = aux.contact_report                       # (N, 17, 3)
+        raw_contact_forces = contact_forces
         if cfg.sim.contact_report_ema > 0.0:
             # smooth the reported force texture only (SimCfg.contact_report_ema)
             b = cfg.sim.contact_report_ema
@@ -845,7 +866,14 @@ class LeggedEnv:
             last_joint_pos_target=act_state.joint_pos_target,
             last_last_joint_pos_target=jnp.where(d1, 0.0, state.last_joint_pos_target),
             feet_air_time=feet_air_time_post, last_contacts=last_contacts,
-            contact_forces=contact_forces, torques=torques,
+            # the stored EMA restarts from the raw report across episode
+            # boundaries so a terminal-step force never bleeds into the
+            # fresh episode's smoothed report (ADVICE r4; no-op at the
+            # default contact_report_ema=0)
+            contact_forces=(jnp.where(d2, raw_contact_forces, contact_forces)
+                            if cfg.sim.contact_report_ema > 0.0
+                            else contact_forces),
+            torques=torques,
             obs_history=obs_history,
             exploration_lin_scale=exp_lin, exploration_yaw_scale=exp_yaw,
             target_dist=state.target_dist,

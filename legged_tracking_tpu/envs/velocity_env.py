@@ -256,12 +256,9 @@ class VelocityTrackingEnv(LeggedEnv):
         carry0 = (state.act, state.motor_strength, state.motor_offset,
                   state.kp_factor, state.kd_factor, actions_scaled)
 
-        from ..terrain.heightfield import (extract_patches_batched_granule,
-                                           extract_patches_batched_layer)
-        extract = ((extract_patches_batched_layer if cfg.sim.layer_gather
-                    else extract_patches_batched_granule)
-                   if cfg.sim.granule_gather else extract_patches_batched)
-        patches = extract(  # px/py: see SimCfg knob docs
+        # gather mode selected at init (LeggedEnv.__init__: interleaved
+        # GranuleSampler or the granule/layer/row legacy paths)
+        patches = self._extract_patches(
             terrain, terrain.env_tile, terrain.env_terrain_origin,
             state.phys.base_pos[:, :2], px=cfg.sim.patch_x,
             py=cfg.sim.patch_y)
@@ -289,6 +286,7 @@ class VelocityTrackingEnv(LeggedEnv):
         act_state = carry[0]
         torques = aux.torques
         contact_forces = aux.contact_report
+        raw_contact_forces = contact_forces
         if cfg.sim.contact_report_ema > 0.0:
             # smooth the reported force texture only (SimCfg.contact_report_ema)
             b = cfg.sim.contact_report_ema
@@ -546,7 +544,13 @@ class VelocityTrackingEnv(LeggedEnv):
             last_joint_pos_target=act_state.joint_pos_target,
             last_last_joint_pos_target=jnp.where(d1, 0.0, state.last_joint_pos_target),
             feet_air_time=feet_air_time_post, last_contacts=last_contacts,
-            contact_forces=contact_forces, torques=torques,
+            # EMA restarts from the raw report across episode boundaries
+            # (ADVICE r4; no-op at the default contact_report_ema=0)
+            contact_forces=(jnp.where(d1[:, :, None], raw_contact_forces,
+                                      contact_forces)
+                            if cfg.sim.contact_report_ema > 0.0
+                            else contact_forces),
+            torques=torques,
             obs_history=obs_history,
             episode_sums=episode_sums,
             rng=rng_next, global_rng=g_next,

@@ -31,6 +31,40 @@ from .actor_critic import (ActorCriticCSE, normal_entropy, normal_kl,
 from .utils import RunningMeanStd
 
 
+def _cheap_perm(key, B: int, T: int, N: int):
+    """O(B) bijective shuffle of [0, B) without the O(B log B) sort.
+
+    ``jax.random.permutation`` sorts B random keys on device — the dominant
+    superlinear term of the PPO data path at large env counts
+    (docs/CHIP_RUNBOOK.md env-count knee).  This replaces it with
+    affine -> (t,n) digit-swap -> affine, a measure-preserving composition:
+    every index appears exactly once (multipliers are drawn coprime to B via
+    a 128-candidate gcd window — static B, so the window is trace-time
+    cheap), and the digit swap breaks the arithmetic-progression structure a
+    single affine map would leave within minibatches.  Multiplier magnitude
+    is capped so a*s stays inside int32.  Weaker mixing than a uniform
+    permutation, but minibatch SGD needs exactly-once coverage plus
+    (t, env)-decorrelation, both of which this provides; BENCH_SHUFFLE=0 /
+    PPOArgs.cheap_shuffle=False restores the reference-equivalent sort.
+    """
+    ks = jax.random.split(key, 4)
+    amax = max(3, min((2**31 - 1 - B) // max(B, 1), 1 << 20))
+
+    def draw_mult(k):
+        a0 = jax.random.randint(k, (), 2, amax)
+        cand = a0 + jnp.arange(128, dtype=jnp.int32)
+        ok = jnp.gcd(cand, jnp.int32(B)) == 1
+        return jnp.where(jnp.any(ok), cand[jnp.argmax(ok)], jnp.int32(1))
+
+    a1, a2 = draw_mult(ks[0]), draw_mult(ks[1])
+    c1 = jax.random.randint(ks[2], (), 0, B, dtype=jnp.int32)
+    c2 = jax.random.randint(ks[3], (), 0, B, dtype=jnp.int32)
+    s = jnp.arange(B, dtype=jnp.int32)
+    p = (a1 * s + c1) % B
+    p = (p % N) * T + (p // N)          # digit swap: bijection since B = T*N
+    return (a2 * p + c2) % B
+
+
 @dataclass
 class PPOArgs:
     """PPO_Args parity (ppo_cse/ppo.py:13-30)."""
@@ -54,6 +88,16 @@ class PPOArgs:
     max_adaptive_lr: float = 1e-2
     max_grad_norm: float = 1.0
     num_steps_per_env: int = 24
+    # round-5 batch-superlinearity levers (docs/CHIP_RUNBOOK.md env-count
+    # knee): replace the O(B log B) device sort behind
+    # jax.random.permutation with an O(B) bijection, and stop storing the
+    # K-times-redundant obs-history frames in the rollout buffer (windows
+    # are re-gathered contiguously at minibatch assembly — bitwise-equal
+    # histories, K x less rollout HBM). windowed_history auto-disables
+    # under normalize_obs (stored histories there are whitened with
+    # per-step running stats that a post-hoc gather cannot replay).
+    cheap_shuffle: bool = True
+    windowed_history: bool = True
     # eval split: trailing cfg.env.num_eval_envs envs act with the
     # deterministic teacher instead of the student (Runner.learn eval_expert,
     # ppo_cse/__init__.py:120,163-167)
@@ -101,6 +145,10 @@ class PPO:
         self._m = type(self.ac)
         self.normalize_obs = bool(getattr(getattr(self.ac, "args", None),
                                           "normalize_obs", False))
+        # windowed history storage (PPOArgs.windowed_history): valid only
+        # when stored histories are raw bf16 windows of raw frames
+        self._window_history = (self.args.windowed_history
+                                and not self.normalize_obs)
         # train/eval env split (reference BaseTask, base_task.py:44-49): the
         # trailing num_eval_envs envs act deterministically (student or
         # teacher) and are EXCLUDED from GAE/updates — a held-out on-device
@@ -201,7 +249,12 @@ class PPO:
             new_env_state, out = self.env.step_fn(env_state, actions)
             # timeout bootstrap (ppo_cse/ppo.py:86-89)
             rew = out.rew + self.args.gamma * value * out.info["time_outs"]
-            tr = Transition(obs=o, privileged_obs=p, obs_history=h,
+            # windowed mode: h is reconstructible from (h0, traj.obs) at
+            # minibatch assembly — store a 0-width placeholder instead of
+            # the K-frames-redundant (N, K*num_obs) row
+            h_store = (jnp.zeros((h.shape[0], 0), h.dtype)
+                       if self._window_history else h)
+            tr = Transition(obs=o, privileged_obs=p, obs_history=h_store,
                             actions=actions, rewards=rew, dones=out.done,
                             values=value, log_prob=log_prob, mu=mean, sigma=std)
             metrics_t = {
@@ -249,6 +302,56 @@ class PPO:
         returns = advs + traj.values
         norm_advs = (advs - advs.mean()) / (advs.std() + 1e-8)
         return returns, norm_advs
+
+    # ---------------------------------------------------- history windows
+    def _window_histories(self, h_first, s0, obs_frames, perm, N):
+        """Reconstruct (B, K*num_obs) obs-history rows for permuted samples.
+
+        History semantics carry across auto-resets (reference
+        HistoryWrapper.step, history_wrapper.py:18-24 — the window shifts
+        unconditionally, no done masking), so each row is ONE contiguous
+        (K, num_obs) slice of an env-major frame buffer — a granule-sized
+        gather instead of storing the K-times-redundant history rows in
+        the rollout buffer.
+
+        Stream subtlety (bitwise-critical): observe() appends the acting
+        obs to the history WITHOUT persisting it to EnvState, so at an
+        observe-started iteration the step-0 history ``h_first`` is
+        "virtual" (its newest frame f_0 never enters the persisted
+        stream), while at step-started iterations h_first IS the persisted
+        state row ``s0``.  Both cases collapse onto one gather source
+            F = [ h_first (K blocks) | s0 blocks 1..K-1 | f_1 .. f_{T-1} ]
+        with start 0 for t = 0 rows (the exact acting history) and
+        K + t - 1 otherwise (h_t = [s0_t .. s0_{K-1}, f_1 .. f_t]).
+        Verified bitwise against stored rows in tests/test_round5_paths.py.
+        """
+        no = self.env.num_obs
+        K = h_first.shape[-1] // no
+        Nn = h_first.shape[0]
+        t_idx = perm // N
+        n_idx = perm % N
+        F = jnp.concatenate(
+            [h_first.reshape(Nn, K, no),
+             s0.reshape(Nn, K, no)[:, 1:].astype(h_first.dtype),
+             jnp.moveaxis(obs_frames[1:], 0, 1).astype(h_first.dtype)],
+            axis=1)                                        # (N, 2K-2+T, no)
+        start_t = jnp.where(t_idx == 0, 0, K + t_idx - 1)
+        starts = jnp.stack([n_idx, start_t], axis=1)       # (B, 2)
+        win = jax.lax.gather(
+            F, starts,
+            dimension_numbers=jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2), collapsed_slice_dims=(0,),
+                start_index_map=(0, 1)),
+            slice_sizes=(1, K, no),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)  # (B, K, no)
+        return win.reshape(win.shape[0], K * no)
+
+    def _perm(self, key, Bp, T, N):
+        if not self.args.cheap_shuffle:
+            return jax.random.permutation(key, Bp)
+        if Bp == T * N:
+            return _cheap_perm(key, Bp, T, N)
+        return _cheap_perm(key, Bp, 1, Bp)
 
     # -------------------------------------------------------------- update
     def _minibatch_update(self, carry, batch):
@@ -314,24 +417,35 @@ class PPO:
         stats = jnp.stack([v_l, surr_l, ad_loss, ad_test, kl])
         return (params, opt_state_new, adapt_opt_state, lr), stats
 
-    def update(self, train_state: TrainState, traj: Transition, returns, advantages, key):
+    def update(self, train_state: TrainState, traj: Transition, returns,
+               advantages, key, h0=None):
         a = self.args
         T, N = traj.rewards.shape
         B = T * N
         mb = B // a.num_mini_batches
-        perm = jax.random.permutation(key, a.num_mini_batches * mb)
+        perm = self._perm(key, a.num_mini_batches * mb, T, N)
 
         flat = lambda x: x.reshape((B,) + x.shape[2:])
-        data = (flat(traj.obs), flat(traj.obs_history), flat(traj.privileged_obs),
-                flat(traj.actions), flat(traj.values), flat(advantages),
-                flat(returns), flat(traj.log_prob), flat(traj.mu), flat(traj.sigma))
+        grp = lambda x: x.reshape((a.num_mini_batches, mb) + x.shape[1:])
 
         # same permutation every epoch (rollout_storage.py:102): gather the
         # buffer into permuted layout ONCE, then each epoch's minibatches are
         # contiguous slices — 1 gather of the ~200 MB buffer instead of
-        # epochs x num_mb partial gathers
-        data = jax.tree.map(lambda x: x[perm].reshape(
-            (a.num_mini_batches, mb) + x.shape[1:]), data)
+        # epochs x num_mb partial gathers.  Histories are reconstructed as
+        # frame windows directly in permuted order (_window_histories).
+        if self._window_history:
+            h_first, s0 = h0
+            h_data = grp(self._window_histories(h_first, s0, traj.obs,
+                                                perm, N))
+        else:
+            h_data = grp(flat(traj.obs_history)[perm])
+        others = (flat(traj.obs), flat(traj.privileged_obs),
+                  flat(traj.actions), flat(traj.values), flat(advantages),
+                  flat(returns), flat(traj.log_prob), flat(traj.mu),
+                  flat(traj.sigma))
+        others = jax.tree.map(lambda x: grp(x[perm]), others)
+        data = (others[0], h_data, others[1], others[2], others[3],
+                others[4], others[5], others[6], others[7], others[8])
 
         # scan over EPOCHS with the minibatch loop unrolled: a traced
         # minibatch index forces a dynamic-slice COPY of each ~200 MB
@@ -386,6 +500,7 @@ class PPO:
         the action distribution is provably unchanged (tests/test_ppo.py)."""
         a = self.args
         k_roll, k_update = jax.random.split(key)
+        s0_hist = env_state.obs_history if self._window_history else None
         env_state, last_obs, traj, roll_metrics, obs_rms = self.rollout(
             train_state.params, env_state, obs_dict, k_roll,
             train_state.obs_rms)
@@ -402,12 +517,19 @@ class PPO:
         T, N = traj.rewards.shape
         B = T * N
         mb = B // a.num_mini_batches
-        perm = jax.random.permutation(key=k_update, x=a.num_mini_batches * mb)
+        perm = self._perm(k_update, a.num_mini_batches * mb, T, N)
         flat = lambda x: x.reshape((B,) + x.shape[2:])
-        data = (flat(traj.obs), flat(traj.obs_history),
-                flat(traj.privileged_obs), flat(traj.values), flat(returns))
-        data = jax.tree.map(lambda x: x[perm].reshape(
-            (a.num_mini_batches, mb) + x.shape[1:]), data)
+        grp = lambda x: x.reshape((a.num_mini_batches, mb) + x.shape[1:])
+        if self._window_history:
+            h_data = grp(self._window_histories(
+                obs_dict["obs_history"][:N], s0_hist[:N], traj.obs, perm, N))
+        else:
+            h_data = grp(flat(traj.obs_history)[perm])
+        others = jax.tree.map(
+            lambda x: grp(x[perm]),
+            (flat(traj.obs), flat(traj.privileged_obs), flat(traj.values),
+             flat(returns)))
+        data = (others[0], h_data, others[1], others[2], others[3])
 
         def minibatch(carry, batch):
             params, wopt = carry
@@ -457,6 +579,8 @@ class PPO:
         reference's --freeze_model data-collection mode, scripts/train.py:278
         -> ppo_cse/__init__.py:176)."""
         k_roll, k_update = jax.random.split(key)
+        # pre-rollout persisted history row (window reconstruction source)
+        s0_hist = env_state.obs_history if self._window_history else None
         env_state, last_obs, traj, roll_metrics, obs_rms = self.rollout(
             train_state.params, env_state, obs_dict, k_roll,
             train_state.obs_rms)
@@ -475,8 +599,12 @@ class PPO:
             traj_train = traj
         if update_model:
             returns, advantages = self.compute_gae(traj_train, last_values)
+            h0 = ((obs_dict["obs_history"][:self.n_train],
+                   s0_hist[:self.n_train])
+                  if self._window_history else None)
             train_state, metrics = self.update(train_state, traj_train,
-                                               returns, advantages, k_update)
+                                               returns, advantages, k_update,
+                                               h0=h0)
         else:
             z = jnp.zeros(())
             metrics = {"value_loss": z, "surrogate_loss": z,

@@ -297,8 +297,16 @@ class Runner:
                     self._dist_cache.log(
                         reached=reach,
                         episodes_per_iter=float(n_eps))
-                if (len(self._reached_window) >= 4000 and
-                        np.mean(self._reached_window) >
+                down = getattr(cfg.curriculum_thresholds,
+                               "cl_downstep_threshold", 0.0)
+                probe = int(getattr(cfg.curriculum_thresholds,
+                                    "cl_stagnation_probe", 0))
+                self._its_since_switch = getattr(
+                    self, "_its_since_switch", 0) + 1
+                win_full = len(self._reached_window) >= 4000
+                win_mean = (np.mean(self._reached_window)
+                            if self._reached_window else 0.0)
+                if (win_full and win_mean >
                         cfg.curriculum_thresholds.cl_switch_threshold):
                     new_dist = min(
                         float(self.env_state.target_dist)
@@ -307,10 +315,8 @@ class Runner:
                     self.env_state = self.env_state._replace(
                         target_dist=self._rep(new_dist))
                     self._reached_window.clear()
-                down = getattr(cfg.curriculum_thresholds,
-                               "cl_downstep_threshold", 0.0)
-                if (down > 0.0 and len(self._reached_window) >= 4000 and
-                        np.mean(self._reached_window) < down):
+                    self._its_since_switch = 0
+                elif down > 0.0 and win_full and win_mean < down:
                     # ease the task before the sparse-reward signal dies
                     new_dist = max(
                         float(self.env_state.target_dist)
@@ -319,6 +325,22 @@ class Runner:
                     self.env_state = self.env_state._replace(
                         target_dist=self._rep(new_dist))
                     self._reached_window.clear()
+                    self._its_since_switch = 0
+                elif (probe > 0 and win_full and win_mean >= down
+                      and self._its_since_switch >= probe):
+                    # stagnation probe (cl_stagnation_probe): the window is
+                    # healthy but has churned below the advance threshold
+                    # for `probe` iterations — advance anyway; the downstep
+                    # safety reverts an over-reach and the best-checkpoint
+                    # tracker keeps the peak
+                    new_dist = min(
+                        float(self.env_state.target_dist)
+                        + cfg.curriculum_thresholds.cl_switch_delta,
+                        cfg.curriculum_thresholds.cl_goal_target_dist)
+                    self.env_state = self.env_state._replace(
+                        target_dist=self._rep(new_dist))
+                    self._reached_window.clear()
+                    self._its_since_switch = 0
 
             if (it % self.runner_args.log_freq == 0) or it == num_learning_iterations - 1:
                 m = jax.tree.map(np.asarray, metrics)

@@ -188,7 +188,9 @@ def control_step_lanes(
     to_lanes = lambda t: jax.tree.map(lambda a: jnp.moveaxis(a, 0, -1), t)
     to_envs = lambda t: jax.tree.map(lambda a: jnp.moveaxis(a, -1, 0), t)
 
-    if fused_sampling:
+    if fused_sampling and patches.ndim == 4:
+        # legacy (N, 2, px, py) layout: relayout once per control step.
+        # The interleaved GranuleSampler already emits (N, px, 2*py).
         from ..terrain.heightfield import transpose_patch
         patches = transpose_patch(patches)                  # (N, px, 2*py)
 

@@ -277,6 +277,93 @@ def extract_patches_batched_granule(terrain: TerrainArrays, env_tile,
     return patch.astype(jnp.bfloat16), g0 * 16, ys
 
 
+class GranuleSampler:
+    """Precomputed layer-interleaved granule table for patch extraction.
+
+    Round-5 restructure of ``extract_patches_batched_granule`` driven by the
+    round-4 attribution (docs/bench_logs/trace_attribution_r4_granule.txt:
+    extraction ≈ 46 ms of the 89 ms/iter heightfield total). Three measured
+    costs, three structural fixes:
+
+    1. The bf16 pad/concat/reshape of the tile table ran INSIDE the jitted
+       step (``tiles`` is a runtime argument, so XLA cannot constant-fold
+       it): the table is now built ONCE host-side at env construction.
+    2. One gather index now fetches one (rpu, 2, wp) UNIT = 4096 bf16
+       elements = exactly two physical (16, 128) granules, contiguous —
+       half the descriptors of the per-layer granule path, zero partial
+       reads, and the padded width adapts to the tile (wp = 32/64/128, so
+       a 40-cell-wide tunnel tile no longer pads 3.2x to 128).
+    3. The unit is LAYER-INTERLEAVED (rows x 2 layers x wp), so the y-cut
+       einsum's natural output order is already the fused-sampling layout
+       (N, PX, 2, py) == transpose_patch's (N, PX, 2*py) after a free
+       reshape — the 11.7 ms/iter relayout disappears.
+
+    Bitwise-equal heights vs the legacy paths for in-window points: same
+    bf16 cell values, same clamp semantics (rows/cols edge-replicate), and
+    the one-hot contractions accumulate the same <=2 products in f32.
+    """
+
+    def __init__(self, terrain: TerrainArrays):
+        tiles = np.asarray(terrain.tiles, np.float32)      # (T, 2, h, w)
+        T, L, h, w = tiles.shape
+        assert L == 2
+        self.h, self.w = h, w
+        self.wp = 32 if w <= 32 else (64 if w <= 64 else 128)
+        self.rpu = 2048 // self.wp                         # rows per unit
+        hp = -(-h // self.rpu) * self.rpu
+        self.units_per_tile = hp // self.rpu
+        tp = tiles.astype(jnp.bfloat16)
+        tp = np.asarray(tp)
+        if hp != h:
+            tp = np.concatenate(
+                [tp, np.repeat(tp[:, :, -1:, :], hp - h, axis=2)], axis=2)
+        if self.wp != w:
+            tp = np.pad(tp, ((0, 0), (0, 0), (0, 0), (0, self.wp - w)),
+                        mode="edge")
+        # (T, 2, hp, wp) -> (T, units, rpu, 2, wp): layer axis INSIDE the unit
+        tp = tp.transpose(0, 2, 1, 3).reshape(
+            T, self.units_per_tile, self.rpu, 2, self.wp)
+        self.table = jnp.asarray(
+            tp.reshape(T * self.units_per_tile, self.rpu, 2, self.wp))
+
+    def n_units(self, px: int) -> int:
+        """Units covering any px-row window at arbitrary alignment."""
+        return min(-(-(px - 1) // self.rpu) + 1, self.units_per_tile)
+
+    def extract(self, env_tile, env_terrain_origin, base_xy, px: int, py: int,
+                hs: float):
+        """(patch_z (N, PX, 2*py) bf16 fused layout, xs (N,), ys (N,)).
+
+        PX = n_units(px) * rpu rows starting at global row ``xs``; column
+        z = layer * py + y (the transpose_patch/sample_patch_*_fused
+        contract).  ``py`` columns starting at ``ys`` with edge clamping,
+        exactly like extract_patches_batched_granule.
+        """
+        nu = self.n_units(px)
+        PX = nu * self.rpu
+        local = (base_xy - env_terrain_origin[:, :2]) / hs
+        xs_raw = jnp.clip(local[:, 0].astype(jnp.int32) - px // 2,
+                          0, max(self.h - px, 0))
+        ys = jnp.clip(local[:, 1].astype(jnp.int32) - py // 2,
+                      0, max(self.w - py, 0))
+        u0 = jnp.clip(xs_raw // self.rpu, 0, self.units_per_tile - nu)
+        uidx = (env_tile[:, None] * self.units_per_tile + u0[:, None]
+                + jnp.arange(nu, dtype=env_tile.dtype)[None, :])   # (N, nu)
+        g = self.table[uidx]                       # (N, nu, rpu, 2, wp)
+        g = g.reshape(base_xy.shape[0], PX, 2, self.wp)
+        q_idx = jnp.clip(ys[:, None] + jnp.arange(py)[None, :], 0, self.w - 1)
+        Ey = (jnp.arange(self.wp)[None, None, :]
+              == q_idx[:, :, None]).astype(jnp.bfloat16)           # (N, py, wp)
+        with jax.default_matmul_precision("bfloat16"):
+            # natural dot_general output order [n, (p, l), q] IS the fused
+            # layout — no transpose (cf. the extract_patches_batched note)
+            patch = jnp.einsum("nplw,nqw->nplq", g, Ey,
+                               preferred_element_type=jnp.float32)
+        patch_z = patch.astype(jnp.bfloat16).reshape(
+            base_xy.shape[0], PX, 2 * py)
+        return patch_z, u0 * self.rpu, ys
+
+
 def sample_patch_nearest(patch, xs, ys, hs, h, w, env_terrain_origin, points_xy):
     """Nearest-cell heights from a robot-local patch — single env.
 
@@ -447,18 +534,22 @@ def sample_patch_bilinear_fused(patch_z, xs, ys, hs, h, w, env_terrain_origin,
     dWy = (at1y - at0y) / hs
 
     W2 = jnp.concatenate([Wx, dWx], axis=0)                     # (2P, px)
-    Wy2 = jnp.concatenate([Wy, Wy], axis=0)                     # (2P, py)
     with jax.default_matmul_precision("bfloat16"):  # see sample_patch_bilinear
         A2 = jnp.einsum("qx,xz->qz", W2, patch_z,
                         preferred_element_type=jnp.float32)      # (2P, 2*py)
         # round-once bf16 intermediate, as in the separable form
         A2 = A2.astype(jnp.bfloat16).reshape(2 * P, 2, py)       # (q, l, y)
-        out = jnp.einsum("qly,qy->ql", A2, Wy2,
-                         preferred_element_type=jnp.float32)     # (2P, 2)
-        dhdy = jnp.einsum("ply,py->pl", A2[:P], dWy,
-                          preferred_element_type=jnp.float32)    # (P, 2)
+        # ONE stage-2 contraction for value/dhdx/dhdy: rows [A2; A2[:P]]
+        # against [Wy; Wy; dWy] — identical f32 products in identical
+        # accumulation order as the previous two-dot form (bitwise equal),
+        # one batched op instead of two (round-5 op-count lever)
+        A3 = jnp.concatenate([A2, A2[:P]], axis=0)               # (3P, 2, py)
+        W3 = jnp.concatenate([Wy, Wy, dWy], axis=0)              # (3P, py)
+        out = jnp.einsum("qly,qy->ql", A3, W3,
+                         preferred_element_type=jnp.float32)     # (3P, 2)
     height = out[:P]                                             # (P, 2)
-    dhdx = out[P:]
+    dhdx = out[P:2 * P]
+    dhdy = out[2 * P:]
     return height, jnp.stack([dhdx, dhdy], axis=-1)             # (P,2), (P,2,2)
 
 

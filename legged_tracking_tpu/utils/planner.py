@@ -460,17 +460,33 @@ def plan_prm_star(elevation_map, start, goal, horizontal_scale,
         return None, float("inf")
 
     nodes = [start, goal]
-    while len(nodes) < num_samples + 2:
+    # bounded rejection sampling: on a map with near-zero valid-pose
+    # fraction the unbounded loop would spin forever on the host — cap
+    # total attempts and plan over whatever roadmap exists (returning
+    # (None, inf) like plan/plan_star if the graph stays disconnected)
+    attempts = 0
+    max_attempts = 200 * num_samples
+    while len(nodes) < num_samples + 2 and attempts < max_attempts:
         cand = rng.uniform(lo, hi)
+        attempts += 1
         if valid(cand):
             nodes.append(cand)
     pts = np.stack(nodes)
     n = len(nodes)
     # PRM* connection count in d=3 (yaw is free): e*(1+1/3)*log n
     k = max(int(np.ceil(k_scale * np.e * (1.0 + 1.0 / 3.0) * np.log(n))), 4)
+    k = min(k, n - 1)
     d2 = np.linalg.norm(pts[:, None, :3] - pts[None, :, :3], axis=-1)
     np.fill_diagonal(d2, np.inf)
-    knn = np.argsort(d2, axis=1)[:, :k]
+    knn_d = np.argsort(d2, axis=1)[:, :k]
+    # symmetrized neighbour relation (PRM*/OMPL connect both directions):
+    # a directed i->knn[i] roadmap drops usable edges when the relation is
+    # asymmetric and voids the k* optimality constant
+    adj = [set(row) for row in knn_d.tolist()]
+    for i, row in enumerate(knn_d):
+        for j in row:
+            adj[int(j)].add(i)
+    knn = [sorted(s) for s in adj]
 
     dist = np.full(n, np.inf)
     dist[0] = 0.0
@@ -506,6 +522,167 @@ def plan_prm_star(elevation_map, start, goal, horizontal_scale,
         path.append(int(prev[path[-1]]))
     out = np.stack([nodes[i] for i in path[::-1]])
     return out, float(dist[1])
+
+
+def plan_bit_star(elevation_map, start, goal, horizontal_scale,
+                  batch_size: int = 150, max_batches: int = 12,
+                  seed: int = 0, objective: str = "pathlength",
+                  pose_cost: PoseCostGrid | None = None, eta: float = 1.5,
+                  num_samples: int | None = None):
+    """Batch Informed Trees (BIT*, Gammell et al. 2015) over (x, y, z, yaw)
+    — the real algorithm behind the reference menu name "bitstar"
+    (reference planner.py:157-160 links ompl.geometric.BITstar).
+
+    Per batch: (1) prune samples that cannot improve the incumbent, (2) add
+    ``batch_size`` new samples — drawn inside the prolate hyperspheroid of
+    transverse diameter ``c_best`` once a solution exists (_informed_sample),
+    (3) process a lazy EDGE QUEUE ordered by the solution-cost lower bound
+    f̂(v, x) = g(v) + ĉ(v, x) + ĥ(x), collision-checking edges only when
+    popped, connecting samples into the tree and rewiring tree vertices,
+    until the best queue bound cannot beat the incumbent.  Anytime: the
+    incumbent cost is monotonically tightened across batches.
+
+    Heuristics: for "pathlength" ĉ/ĥ are Euclidean distances (admissible —
+    path_cost integrates straight segments); for the tracking-error
+    objectives they are 0 (admissible for any nonnegative segment cost, at
+    the price of less queue pruning).  RGG connection radius shrinks as
+    r = eta * (log q / q)^(1/3) * diag like the PRM*/RRT* family.
+
+    Returns (path (L, 4), cost) or (None, inf).
+    """
+    import heapq
+
+    if num_samples is not None:      # total-budget alias (menu-bench parity
+        max_batches = max(1, -(-int(num_samples) // batch_size))
+    rng = np.random.RandomState(seed)
+    hs = horizontal_scale
+    nx, ny = elevation_map.shape[1:]
+    lo = np.array([0.0, 0.0, 0.05, -np.pi])
+    hi = np.array([nx * hs, ny * hs, 0.6, np.pi])
+    diag = np.linalg.norm((hi - lo)[:3])
+
+    start = np.asarray(start, dtype=np.float64)
+    goal = np.asarray(goal, dtype=np.float64)
+
+    def valid(p):
+        return _pose_valid(elevation_map, hs, p[0], p[1], p[2], p[3])
+
+    if not valid(start) or not valid(goal):
+        return None, float("inf")
+
+    use_h = objective == "pathlength"
+    ghat = (lambda p: np.linalg.norm(p[:3] - start[:3])) if use_h else (lambda p: 0.0)
+    hhat = (lambda p: np.linalg.norm(goal[:3] - p[:3])) if use_h else (lambda p: 0.0)
+    chat = (lambda a, b: np.linalg.norm(b[:3] - a[:3])) if use_h else (lambda a, b: 0.0)
+
+    nodes = [start.copy(), goal.copy()]        # 0 = start, 1 = goal
+    in_tree = [True, False]
+    g = [0.0, float("inf")]
+    parent = [-1, -1]
+    samples = {1}
+    c_best = float("inf")
+    edge_checked: dict[tuple[int, int], float] = {}   # true cost or inf
+
+    def true_cost(i, j):
+        key = (min(i, j), max(i, j))
+        c = edge_checked.get(key)
+        if c is None:
+            c = (_segment_cost(nodes[i], nodes[j], objective, pose_cost)
+                 if _segment_valid(valid, nodes[i], nodes[j])
+                 else float("inf"))
+            edge_checked[key] = c
+        return c
+
+    for _ in range(max_batches):
+        # ---- prune + new informed batch ----
+        if np.isfinite(c_best):
+            samples = {i for i in samples
+                       if ghat(nodes[i]) + hhat(nodes[i]) < c_best - 1e-12}
+            samples.add(1) if not in_tree[1] else None
+        added, attempts = 0, 0
+        while added < batch_size and attempts < 200 * batch_size:
+            attempts += 1
+            cand = None
+            if np.isfinite(c_best) and use_h:
+                cand = _informed_sample(rng, start, goal, c_best, lo, hi)
+                if cand is None:
+                    continue
+            else:
+                cand = rng.uniform(lo, hi)
+            if valid(cand):
+                nodes.append(cand)
+                in_tree.append(False)
+                g.append(float("inf"))
+                parent.append(-1)
+                samples.add(len(nodes) - 1)
+                added += 1
+
+        # ---- RGG radius over the current vertex+sample count ----
+        q = max(len(samples) + sum(in_tree), 2)
+        r = max(eta * diag * (np.log(q) / q) ** (1.0 / 3.0), 0.35)
+
+        # ---- build the lazy edge queue ----
+        pts = np.stack(nodes)
+        tree_ids = [i for i, t in enumerate(in_tree) if t]
+        heap = []
+        for v in tree_ids:
+            d = np.linalg.norm(pts[:, :3] - pts[v, None, :3], axis=-1)
+            for x in np.nonzero(d <= r)[0]:
+                x = int(x)
+                if x == v or parent[x] == v or parent[v] == x:
+                    continue
+                fhat = g[v] + chat(nodes[v], nodes[x]) + hhat(nodes[x])
+                if fhat < c_best - 1e-12:
+                    heapq.heappush(heap, (fhat, v, x))
+
+        # ---- process edges best-bound-first ----
+        while heap:
+            fhat, v, x = heapq.heappop(heap)
+            if fhat >= c_best - 1e-12:
+                break                            # nothing left can improve
+            if not in_tree[v]:
+                continue
+            c = true_cost(v, x)
+            gx_new = g[v] + c
+            if not np.isfinite(c) or gx_new + hhat(nodes[x]) >= c_best - 1e-12:
+                continue
+            if gx_new < g[x] - 1e-12:
+                g[x] = gx_new
+                parent[x] = v
+                if not in_tree[x]:
+                    in_tree[x] = True
+                    samples.discard(x)
+                    # expand the fresh vertex's own neighbourhood
+                    d = np.linalg.norm(pts[:, :3] - pts[x, None, :3], axis=-1)
+                    for y in np.nonzero(d <= r)[0]:
+                        y = int(y)
+                        if y == x or parent[y] == x:
+                            continue
+                        fh = g[x] + chat(nodes[x], nodes[y]) + hhat(nodes[y])
+                        if fh < c_best - 1e-12:
+                            heapq.heappush(heap, (fh, x, y))
+                else:
+                    # rewiring: push improved bounds from x's subtree root
+                    d = np.linalg.norm(pts[:, :3] - pts[x, None, :3], axis=-1)
+                    for y in np.nonzero(d <= r)[0]:
+                        y = int(y)
+                        if y != x and parent[y] != x:
+                            fh = (g[x] + chat(nodes[x], nodes[y])
+                                  + hhat(nodes[y]))
+                            if fh < c_best - 1e-12:
+                                heapq.heappush(heap, (fh, x, y))
+                if x == 1 or g[1] < c_best:
+                    c_best = min(c_best, g[1])
+
+    if not in_tree[1] or not np.isfinite(g[1]):
+        return None, float("inf")
+    path = [1]
+    while path[-1] != 0:
+        path.append(parent[path[-1]])
+    out = np.stack([nodes[i] for i in path[::-1]])
+    # recompute from the final parent chain: ancestor rewiring can leave
+    # descendant g[] values stale (costs only tighten, never loosen)
+    return out, path_cost(out, objective, pose_cost)
 
 
 def plan_rrt_connect(elevation_map, start, goal, horizontal_scale,
@@ -607,10 +784,12 @@ def _plan_feasible(elevation_map, start, goal, horizontal_scale, **kw):
 
 
 # Native planner menu mirroring the reference's allocatePlanner
-# (planner.py:156-178). The OMPL batch/marching planners (BIT*, FMT*, BFMT*)
-# are served by PRM* — the same batch-sampled asymptotically-optimal roadmap
-# family — and SORRT* by Informed-RRT*, its direct ancestor; each alias keeps
-# the reference's planner NAME valid with the closest native algorithm.
+# (planner.py:156-178). bitstar is a real Batch Informed Trees
+# implementation (plan_bit_star, round 5). The OMPL marching planners
+# (FMT*, BFMT*) remain ALIASES of PRM* — the same batch-sampled
+# asymptotically-optimal roadmap family — and SORRT* of Informed-RRT*, its
+# direct ancestor; each alias keeps the reference's planner NAME valid with
+# the closest native algorithm (flagged in docs/PLANNER_MENU.md rows).
 _PLANNERS = {
     "rrt": _plan_feasible,
     "rrtconnect": plan_rrt_connect,
@@ -618,7 +797,7 @@ _PLANNERS = {
     "informedrrtstar": lambda *a, **k: plan_star(*a, informed=True, **k),
     "sorrtstar": lambda *a, **k: plan_star(*a, informed=True, **k),
     "prmstar": plan_prm_star,
-    "bitstar": plan_prm_star,
+    "bitstar": plan_bit_star,
     "fmtstar": plan_prm_star,
     "bfmtstar": plan_prm_star,
 }

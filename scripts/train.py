@@ -73,6 +73,10 @@ def build_cfg(args):
     cfg.reward_scales.set("exploration_yaw", args.r_explore_yaw)
 
     # terrain (reference train.py:127-170)
+    if args.num_envs is None:
+        # the published goal run trained 4000 envs (run-20230904 config.yaml
+        # num_envs); other strategies keep the reference train.py default
+        args.num_envs = 4096 if args.strategy == "goal" else 1024
     cfg.env.num_envs = args.num_envs
     cfg.env.num_eval_envs = args.num_eval_envs
     cfg.terrain.num_cols = args.terrain_cols
@@ -186,6 +190,10 @@ def build_cfg(args):
         if args.cl_goal_target_dist is not None:
             cfg.curriculum_thresholds.cl_goal_target_dist = args.cl_goal_target_dist
         cfg.curriculum_thresholds.cl_downstep_threshold = args.cl_downstep
+        cfg.curriculum_thresholds.cl_dist_mix = (
+            0.25 if args.cl_dist_mix is None else args.cl_dist_mix)
+        cfg.curriculum_thresholds.cl_stagnation_probe = args.cl_probe
+    elif args.cl_dist_mix:
         cfg.curriculum_thresholds.cl_dist_mix = args.cl_dist_mix
     return cfg
 
@@ -421,10 +429,18 @@ def parse_args(argv=None):
                         "the frontier abstention trap ends every long run "
                         "(docs/TRAINING_NOTES.md round 3); only --strategy "
                         "goal reads it")
-    p.add_argument("--cl_dist_mix", type=float, default=0.0,
+    p.add_argument("--cl_dist_mix", type=float, default=None,
                    help="fraction of train envs rehearsing at U[cl_start, "
                         "target] goal distances; the curriculum gates on the "
-                        "frontier slice only (0 = reference semantics)")
+                        "frontier slice only. Default 0.25 for --strategy "
+                        "goal (round-5: the staged recipe's climb "
+                        "ingredient, folded into the defaults), else 0")
+    p.add_argument("--cl_probe", type=int, default=600,
+                   help="stagnation probe (round 5): advance the frontier "
+                        "after this many iterations without any curriculum "
+                        "switch while the reach window is healthy; the "
+                        "downstep safety reverts over-reaches (0 = off). "
+                        "Only --strategy goal reads it")
     p.add_argument("--dr_profile", choices=["regular", "large"], default="",
                    help="train under an eval DR profile's ranges (friction "
                         "0.05-4.5 etc.; learn/domain_randomization_profiles) "
@@ -448,7 +464,11 @@ def parse_args(argv=None):
     p.add_argument("--terminal_body_height", type=float, default=0.0)
     p.add_argument("--terrain", default="single_path",
                    choices=["single_path", "multi_path", "plane", "random_pyramid"])
-    p.add_argument("--num_envs", type=int, default=1024)
+    p.add_argument("--num_envs", type=int, default=None,
+                   help="default 4096 for --strategy goal (the published "
+                        "run-20230904 trained 4000 envs — 1024 leaves a 4x "
+                        "step-budget deficit at equal iterations, round-5 "
+                        "fix), else 1024 (reference train.py:128)")
     p.add_argument("--num_eval_envs", type=int, default=0,
                    help="trailing held-out envs driven by the deterministic "
                         "policy, excluded from PPO updates")

@@ -81,10 +81,19 @@ def build_cfg(args):
         cfg.terrain.bottom.pyramid_height_min = 0.15
         cfg.terrain.bottom.pyramid_height_max = 0.35
 
-    # hierarchical planning over candidate local goals
-    cfg.commands.traj_function = "valid_goal"
+    # hierarchical planning over candidate local goals (reference
+    # train_hierarchy_2.py:117-139: fixed_target at 3.5 m ± 0.4,
+    # plan_interval 100, switch_dist 0.20, base_z 0.29)
+    cfg.commands.traj_function = "fixed_target"
     cfg.commands.traj_length = 1
-    cfg.commands.switch_dist = 0.3
+    cfg.commands.num_interpolation = 1
+    cfg.commands.x_mean = 3.5
+    cfg.commands.base_x = 3.5
+    cfg.commands.y_mean = 0.0
+    cfg.commands.x_range = 0.4
+    cfg.commands.y_range = 0.0
+    cfg.commands.base_z = 0.29
+    cfg.commands.switch_dist = 0.20
     cfg.commands.sampling_based_planning = not args.no_planner
     cfg.commands.plan_interval = args.plan_interval
 
@@ -124,9 +133,20 @@ if __name__ == "__main__":
     p.add_argument("--difficulty_level", type=int, default=2)
     p.add_argument("--no_tunnel", action="store_true")
     p.add_argument("--no_planner", action="store_true")
-    p.add_argument("--plan_interval", type=int, default=10)
+    p.add_argument("--plan_interval", type=int, default=100,
+                   help="reference pms branch replans every 100 control "
+                        "steps (train_hierarchy_2.py:131)")
     p.add_argument("--pd_control", action="store_true")
-    p.add_argument("--r_stalling", type=float, default=-1.0)
-    p.add_argument("--r_explore", type=float, default=1.0)
+    # POSITIVE scale (reference :182 default 1.0): the stalling TERM is
+    # already -1 when stalling, so a negative scale PAYS the policy to
+    # stand still — the exact bug behind the round-4 zero-reach run
+    # (docs/hierarchy_r4_metrics.jsonl: rew_stalling +13.6/episode,
+    # episode_length pinned at timeout)
+    p.add_argument("--r_stalling", type=float, default=1.0)
+    p.add_argument("--r_explore", type=float, default=1.0,
+                   help="dense progress shaping toward the local goal "
+                        "(reference default 0.0; 1.0 is our trained-in "
+                        "default — the only dense positive term otherwise "
+                        "is the sparse local-goal bonus)")
     p.add_argument("--num_devices", type=int, default=None)
     main(p.parse_args())

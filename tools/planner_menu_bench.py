@@ -85,16 +85,21 @@ def main():
            "0.05 m cells, 0.8 m ceiling), start (0.4, 0.75) -> goal "
            "(3.6, 0.75), pathlength objective. Same native menu as the "
            "reference's OMPL allocatePlanner "
-           "(go1_gym/utils/planner.py:156-178); BIT*/FMT*/BFMT* are served "
-           "by the PRM* roadmap family and SORRT* by Informed-RRT* "
-           "(documented aliases in utils/planner.py).",
+           "(go1_gym/utils/planner.py:156-178). bitstar is a real Batch "
+           "Informed Trees implementation (utils/planner.py plan_bit_star, "
+           "round 5); the rows marked \"alias\" dispatch to the named "
+           "native algorithm rather than a distinct implementation.",
            "",
            "| planner | success | mean path length (m) | mean time (s) |",
            "|---|---|---|---|"]
+    ALIAS = {"fmtstar": "prmstar", "bfmtstar": "prmstar",
+             "sorrtstar": "informedrrtstar"}
     for name in NAMES:
         r = rows[name]
         mc = np.mean(r["cost"]) if r["cost"] else float("nan")
-        out.append(f"| {name} | {r['ok']}/{n_tunnels} | {mc:.3f} | "
+        label = (f"{name} (alias of {ALIAS[name]})" if name in ALIAS
+                 else name)
+        out.append(f"| {label} | {r['ok']}/{n_tunnels} | {mc:.3f} | "
                    f"{np.mean(r['t']):.3f} |")
     out.append("")
     out.append("Regenerate: `python tools/planner_menu_bench.py`. "
