@@ -78,9 +78,8 @@ def build(num_envs=None, lane_engine=None):
     # whole-tile-LAYER gather A/B knob (extract_patches_batched_layer)
     cfg.sim.layer_gather = os.environ.get(
         "BENCH_LAYER", "1" if cfg.sim.layer_gather else "0") == "1"
-    # round-5 interleaved-unit extraction A/B knob (GranuleSampler:
-    # precomputed table + layer-interleaved 8 KB units + transpose-free
-    # fused layout); BENCH_INTERLEAVED=0 reverts to the granule path
+    # round-5 interleaved-unit extraction A/B knob (GranuleSampler) —
+    # measured negative, default OFF (SimCfg.interleaved_gather docstring)
     cfg.sim.interleaved_gather = os.environ.get(
         "BENCH_INTERLEAVED", "1" if cfg.sim.interleaved_gather else "0") == "1"
     # Pallas fused obs-scan A/B knob (terrain/pallas_scan.py)
@@ -100,10 +99,12 @@ def build(num_envs=None, lane_engine=None):
 
     env = LeggedEnv(cfg)
     # round-5 PPO data-path A/B knobs: BENCH_SHUFFLE=0 restores the sorted
-    # permutation, BENCH_WINDOW=0 restores stored obs-history rows
+    # permutation, BENCH_WINDOW=1 swaps stored obs-history rows for the
+    # windowed re-gather (default OFF — measured -5.5% at 4096; the knob
+    # trades time for K x rollout-buffer memory)
     args = PPOArgs(
         cheap_shuffle=os.environ.get("BENCH_SHUFFLE", "1") == "1",
-        windowed_history=os.environ.get("BENCH_WINDOW", "1") == "1")
+        windowed_history=os.environ.get("BENCH_WINDOW", "0") == "1")
     alg = PPO(env, args=args)
     ts = alg.init(jax.random.key(0))
     env_state = env._reset_jit(jax.random.key(1), True)

@@ -561,17 +561,19 @@ class SimCfg:
     # poses — measured 2.3 mm base-pos divergence over 60 flailing steps —
     # so it stays an opt-in knob (BENCH_PATCH_X=16) rather than the default.
     patch_x: int = 24
-    # round-5 extraction restructure (heightfield.GranuleSampler): the bf16
-    # granule table is precomputed HOST-SIDE once (the per-step pad/concat
-    # of the tile table cannot constant-fold since tiles are a runtime jit
-    # argument), one gather index fetches a layer-interleaved (rpu, 2, wp)
-    # unit = two contiguous physical granules, and the y-cut einsum's
-    # natural output order is already the fused-sampling layout so the
-    # transpose_patch relayout (11.7 ms/iter) disappears. Requires
-    # lane_engine + fused_sampling (falls back to granule_gather paths
-    # otherwise). Bitwise-equal heights for in-window points (tests).
-    # A/B knob BENCH_INTERLEAVED.
-    interleaved_gather: bool = True
+    # round-5 extraction restructure (heightfield.GranuleSampler):
+    # layer-interleaved gather units whose y-cut einsum emits the fused
+    # layout with no transpose_patch. MEASURED NEGATIVE and default OFF
+    # (4096-env chip ladder: 342.1k with the first (…, 2, 128)-minor table
+    # — 8x physical sublane padding, the gather read 8x the bytes — and
+    # 352.0k after the 2-D-minor fix, vs 363.6k for the granule path; the
+    # einsum's 16-lane-minor output forces the relayout SOMEWHERE, so
+    # killing transpose_patch just moved its cost into the output reshape
+    # while only the gather improved). Kept in-tree for the layout lessons
+    # + the A/B (BENCH_INTERLEAVED=1); the gather win itself is ported to
+    # the default path as precompute_granule_table. Requires lane_engine +
+    # fused_sampling. Bitwise-equal heights (tests).
+    interleaved_gather: bool = False
 
 
 @dataclass

@@ -178,9 +178,12 @@ class LeggedEnv:
         self._scan_patch_y = int(2 ** np.ceil(np.log2(2 * span_y / hs_ + 2)))
         # gather-mode A/B knobs (SimCfg.granule_gather / layer_gather /
         # interleaved_gather — see SimCfg docstrings for the measured ladder)
+        from functools import partial
+
         from ..terrain.heightfield import (GranuleSampler,
                                            extract_patches_batched_granule,
-                                           extract_patches_batched_layer)
+                                           extract_patches_batched_layer,
+                                           precompute_granule_table)
         self._interleaved = (cfg.sim.interleaved_gather and cfg.sim.lane_engine
                              and cfg.sim.fused_sampling
                              and not cfg.sim.pallas_scan)
@@ -190,6 +193,12 @@ class LeggedEnv:
             self._extract_patches = (
                 lambda terrain, env_tile, origin, base_xy, px=32, py=32:
                     sampler.extract(env_tile, origin, base_xy, px, py, hs0))
+        elif cfg.sim.granule_gather and not cfg.sim.layer_gather:
+            # default path: granule gather from a HOST-precomputed table
+            # (byte-identical; skips the per-step pad/concat)
+            tab, _ = precompute_granule_table(self.terrain)
+            self._extract_patches = partial(extract_patches_batched_granule,
+                                            table=tab)
         else:
             self._extract_patches = (
                 (extract_patches_batched_layer if cfg.sim.layer_gather

@@ -90,14 +90,20 @@ class PPOArgs:
     num_steps_per_env: int = 24
     # round-5 batch-superlinearity levers (docs/CHIP_RUNBOOK.md env-count
     # knee): replace the O(B log B) device sort behind
-    # jax.random.permutation with an O(B) bijection, and stop storing the
+    # jax.random.permutation with an O(B) bijection (measured NEUTRAL at
+    # 4096 envs — 364.1k vs 363.6k — and removes the superlinear sort term
+    # at large B; default ON), and optionally stop storing the
     # K-times-redundant obs-history frames in the rollout buffer (windows
-    # are re-gathered contiguously at minibatch assembly — bitwise-equal
-    # histories, K x less rollout HBM). windowed_history auto-disables
-    # under normalize_obs (stored histories there are whitened with
-    # per-step running stats that a post-hoc gather cannot replay).
+    # re-gathered contiguously at minibatch assembly — bitwise-equal
+    # histories + tests, but the gather MEASURED -5.5% at 4096 envs, so
+    # default OFF; the K x rollout-buffer memory saving makes it the knob
+    # to flip first when HBM, not time, is the binding constraint — e.g.
+    # very large env counts or long histories). windowed_history
+    # auto-disables under normalize_obs (stored histories there are
+    # whitened with per-step running stats a post-hoc gather cannot
+    # replay).
     cheap_shuffle: bool = True
-    windowed_history: bool = True
+    windowed_history: bool = False
     # eval split: trailing cfg.env.num_eval_envs envs act with the
     # deterministic teacher instead of the student (Runner.learn eval_expert,
     # ppo_cse/__init__.py:120,163-167)
@@ -335,6 +341,11 @@ class PPO:
              s0.reshape(Nn, K, no)[:, 1:].astype(h_first.dtype),
              jnp.moveaxis(obs_frames[1:], 0, 1).astype(h_first.dtype)],
             axis=1)                                        # (N, 2K-2+T, no)
+        # (1, K, no) slice gather.  Geometry note (round-5 chip A/B at 4096
+        # envs): this 3-D slice form measured 343.5k env-steps/s; a
+        # "simpler" flattened (1, K*no) slice over (N, L*no) measured
+        # 178.3k — the flat slices straddle lane-tile boundaries at stride
+        # no=261, while this form keeps the no axis tile-aligned.
         start_t = jnp.where(t_idx == 0, 0, K + t_idx - 1)
         starts = jnp.stack([n_idx, start_t], axis=1)       # (B, 2)
         win = jax.lax.gather(

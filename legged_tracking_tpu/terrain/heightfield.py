@@ -219,9 +219,33 @@ def extract_patches_batched_layer(terrain: TerrainArrays, env_tile,
             jnp.zeros_like(ys), ys)
 
 
+def precompute_granule_table(terrain: TerrainArrays):
+    """Host-side build of the padded bf16 granule table used by
+    ``extract_patches_batched_granule`` — byte-identical to its in-jit
+    ``tp`` construction, hoisted out of the step (tiles are a runtime jit
+    argument, so XLA cannot constant-fold the pad/concat there; measured
+    ~3 ms/iter at the 4096 bench inside the gather line).  Returns
+    (grans (T*2*n_gran_tile, 16, 128) bf16, n_gran_tile)."""
+    tiles = np.asarray(terrain.tiles, np.float32)
+    T, _, h, w = tiles.shape
+    h16 = -(-h // 16) * 16
+    wp = 128
+    tp = np.asarray(tiles, dtype=np.float32)
+    tp = jnp.asarray(tp).astype(jnp.bfloat16)
+    tp = np.asarray(tp)
+    if h16 != h:
+        tp = np.concatenate(
+            [tp, np.repeat(tp[:, :, -1:, :], h16 - h, axis=2)], axis=2)
+    tp = np.pad(tp, ((0, 0), (0, 0), (0, 0), (0, wp - w)), mode="edge")
+    n_gran_tile = h16 // 16
+    return (jnp.asarray(tp.reshape(T * 2 * n_gran_tile, 16, wp)),
+            n_gran_tile)
+
+
 def extract_patches_batched_granule(terrain: TerrainArrays, env_tile,
                                     env_terrain_origin, base_xy,
-                                    px: int = PATCH, py: int = PATCH):
+                                    px: int = PATCH, py: int = PATCH,
+                                    table=None):
     """Granule-aligned variant of ``extract_patches_batched``.
 
     The row gather above fetches 80 B rows that each straddle a 2-4 KB
@@ -252,15 +276,21 @@ def extract_patches_batched_granule(terrain: TerrainArrays, env_tile,
     ys = jnp.clip(local[:, 1].astype(jnp.int32) - py // 2, 0, max(w - py, 0))
     g0 = jnp.clip(xs_raw // 16, 0, n_gran_tile - n_gran)        # (N,)
 
-    # constant-folded at compile: pad rows to the granule grid, bf16 (see
-    # the rounding note in extract_patches_batched), view as granules. Edge
-    # rows replicate (same clamp semantics as the row path).
-    tp = tiles.astype(jnp.bfloat16)
-    if h16 != h:
-        tp = jnp.concatenate(
-            [tp, jnp.repeat(tp[:, :, -1:, :], h16 - h, axis=2)], axis=2)
-    tp = jnp.pad(tp, ((0, 0), (0, 0), (0, 0), (0, wp - w)), mode="edge")
-    grans = tp.reshape(T * 2 * n_gran_tile, 16, wp)
+    # pad rows to the granule grid, bf16 (see the rounding note in
+    # extract_patches_batched), view as granules; edge rows replicate (same
+    # clamp semantics as the row path).  ``table`` (precompute_granule_table)
+    # supplies this HOST-precomputed — tiles are a runtime jit argument, so
+    # the pad/concat here cannot constant-fold and would re-run every
+    # control step (round-5 measurement: ~3 ms/iter at the 4096 bench).
+    if table is not None:
+        grans = table
+    else:
+        tp = tiles.astype(jnp.bfloat16)
+        if h16 != h:
+            tp = jnp.concatenate(
+                [tp, jnp.repeat(tp[:, :, -1:, :], h16 - h, axis=2)], axis=2)
+        tp = jnp.pad(tp, ((0, 0), (0, 0), (0, 0), (0, wp - w)), mode="edge")
+        grans = tp.reshape(T * 2 * n_gran_tile, 16, wp)
 
     gidx = ((env_tile[:, None, None] * 2
              + jnp.arange(2, dtype=env_tile.dtype)[None, :, None]) * n_gran_tile
@@ -303,12 +333,18 @@ class GranuleSampler:
     the one-hot contractions accumulate the same <=2 products in f32.
     """
 
-    def __init__(self, terrain: TerrainArrays):
+    def __init__(self, terrain: TerrainArrays, wp: int | None = None):
         tiles = np.asarray(terrain.tiles, np.float32)      # (T, 2, h, w)
         T, L, h, w = tiles.shape
         assert L == 2
         self.h, self.w = h, w
-        self.wp = 32 if w <= 32 else (64 if w <= 64 else 128)
+        # wp = 128 keeps the y-cut einsum's contraction lane-FULL (the
+        # round-5 A/B: an adaptive wp=64 table halved gather bytes but
+        # measured far worse — the MXU contracts K=wp on the lane axis, so
+        # narrow tables waste half of every operand register). Override for
+        # A/B via the wp argument.
+        self.wp = 128 if wp is None else wp
+        assert self.wp >= w, (self.wp, w)
         self.rpu = 2048 // self.wp                         # rows per unit
         hp = -(-h // self.rpu) * self.rpu
         self.units_per_tile = hp // self.rpu
@@ -320,11 +356,16 @@ class GranuleSampler:
         if self.wp != w:
             tp = np.pad(tp, ((0, 0), (0, 0), (0, 0), (0, self.wp - w)),
                         mode="edge")
-        # (T, 2, hp, wp) -> (T, units, rpu, 2, wp): layer axis INSIDE the unit
+        # (T, 2, hp, wp) -> (T, units, rpu*2, wp): layer axis INSIDE the
+        # unit, rows ordered (row, layer).  Stored 2-D-minor as
+        # (U, rpu*2, wp): TPU tiles the last TWO dims as (16, 128), so a
+        # (..., rpu, 2, wp) shape would leave only 2 valid sublanes per
+        # physical tile — an 8x physically padded table whose gather reads
+        # 8x the bytes (measured: 31.2 vs 14.6 ms/iter, round-5 trace).
         tp = tp.transpose(0, 2, 1, 3).reshape(
-            T, self.units_per_tile, self.rpu, 2, self.wp)
+            T, self.units_per_tile, self.rpu * 2, self.wp)
         self.table = jnp.asarray(
-            tp.reshape(T * self.units_per_tile, self.rpu, 2, self.wp))
+            tp.reshape(T * self.units_per_tile, self.rpu * 2, self.wp))
 
     def n_units(self, px: int) -> int:
         """Units covering any px-row window at arbitrary alignment."""
@@ -349,15 +390,17 @@ class GranuleSampler:
         u0 = jnp.clip(xs_raw // self.rpu, 0, self.units_per_tile - nu)
         uidx = (env_tile[:, None] * self.units_per_tile + u0[:, None]
                 + jnp.arange(nu, dtype=env_tile.dtype)[None, :])   # (N, nu)
-        g = self.table[uidx]                       # (N, nu, rpu, 2, wp)
-        g = g.reshape(base_xy.shape[0], PX, 2, self.wp)
+        g = self.table[uidx]                       # (N, nu, rpu*2, wp)
+        # rows m = (p, l) pairs — already the fused layout's row order; the
+        # shape stays 2-D-minor ((2*PX, wp) tiles densely) end to end
+        g = g.reshape(base_xy.shape[0], 2 * PX, self.wp)
         q_idx = jnp.clip(ys[:, None] + jnp.arange(py)[None, :], 0, self.w - 1)
         Ey = (jnp.arange(self.wp)[None, None, :]
               == q_idx[:, :, None]).astype(jnp.bfloat16)           # (N, py, wp)
         with jax.default_matmul_precision("bfloat16"):
             # natural dot_general output order [n, (p, l), q] IS the fused
             # layout — no transpose (cf. the extract_patches_batched note)
-            patch = jnp.einsum("nplw,nqw->nplq", g, Ey,
+            patch = jnp.einsum("nmw,nqw->nmq", g, Ey,
                                preferred_element_type=jnp.float32)
         patch_z = patch.astype(jnp.bfloat16).reshape(
             base_xy.shape[0], PX, 2 * py)

@@ -193,6 +193,10 @@ def build_cfg(args):
         cfg.curriculum_thresholds.cl_dist_mix = (
             0.25 if args.cl_dist_mix is None else args.cl_dist_mix)
         cfg.curriculum_thresholds.cl_stagnation_probe = args.cl_probe
+        if args.max_noise_std is None:
+            # the committed entry-blocker for the entropy-inflation trap
+            # (TRAINING_NOTES round 2) becomes a goal-strategy default
+            args.max_noise_std = 1.0
     elif args.cl_dist_mix:
         cfg.curriculum_thresholds.cl_dist_mix = args.cl_dist_mix
     return cfg
