@@ -480,10 +480,13 @@ def sample_patch_bilinear(patch, xs, ys, hs, h, w, env_terrain_origin, points_xy
     at1x = (colsx == (x0 + 1)[:, None]).astype(jnp.float32)
     at0y = (colsy == y0[:, None]).astype(jnp.float32)
     at1y = (colsy == (y0 + 1)[:, None]).astype(jnp.float32)
-    Wx = at0x * (1 - fx) + at1x * fx                            # (P, px)
-    Wy = at0y * (1 - fy) + at1y * fy
-    dWx = (at1x - at0x) / hs
-    dWy = (at1y - at0y) / hs
+    # bf16 weight materialization — same rounding the bf16-precision MXU
+    # applies to its operands anyway; keeps this separable comparator
+    # value-aligned with sample_patch_bilinear_fused (see there)
+    Wx = (at0x * (1 - fx) + at1x * fx).astype(jnp.bfloat16)     # (P, px)
+    Wy = (at0y * (1 - fy) + at1y * fy).astype(jnp.bfloat16)
+    dWx = ((at1x - at0x) / hs).astype(jnp.bfloat16)
+    dWy = ((at1y - at0y) / hs).astype(jnp.bfloat16)
 
     # native 1-pass bf16 MXU for the sampling contractions: product error
     # <= 0.4% of a cell height delta (~4 mm at 1 m) — the same magnitude as
@@ -571,10 +574,15 @@ def sample_patch_bilinear_fused(patch_z, xs, ys, hs, h, w, env_terrain_origin,
     colsy = jnp.arange(py)[None, :]
     at0y = (colsy == y0[:, None]).astype(jnp.float32)
     at1y = (colsy == (y0 + 1)[:, None]).astype(jnp.float32)
-    Wx = at0x * (1 - fx) + at1x * fx                            # (P, px)
-    dWx = (at1x - at0x) / hs
-    Wy = at0y * (1 - fy) + at1y * fy                            # (P, py)
-    dWy = (at1y - at0y) / hs
+    # weights materialize in bf16: the consuming einsums run under bf16
+    # matmul precision, which rounds every operand to bf16 at the MXU
+    # regardless — casting at build time is VALUE-IDENTICAL (f32 arithmetic
+    # then one rounding, same as the MXU's) and halves the W-array traffic
+    # (~23 ms/iter of one-hot construction in the round-5 trace)
+    Wx = (at0x * (1 - fx) + at1x * fx).astype(jnp.bfloat16)     # (P, px)
+    dWx = ((at1x - at0x) / hs).astype(jnp.bfloat16)
+    Wy = (at0y * (1 - fy) + at1y * fy).astype(jnp.bfloat16)     # (P, py)
+    dWy = ((at1y - at0y) / hs).astype(jnp.bfloat16)
 
     W2 = jnp.concatenate([Wx, dWx], axis=0)                     # (2P, px)
     with jax.default_matmul_precision("bfloat16"):  # see sample_patch_bilinear
