@@ -326,13 +326,19 @@ class Runner:
                         target_dist=self._rep(new_dist))
                     self._reached_window.clear()
                     self._its_since_switch = 0
-                elif (probe > 0 and win_full and win_mean >= down
+                elif (probe > 0 and win_full
+                      and win_mean >= max(
+                          down,
+                          cfg.curriculum_thresholds.cl_switch_threshold - 0.1)
                       and self._its_since_switch >= probe):
-                    # stagnation probe (cl_stagnation_probe): the window is
-                    # healthy but has churned below the advance threshold
-                    # for `probe` iterations — advance anyway; the downstep
-                    # safety reverts an over-reach and the best-checkpoint
-                    # tracker keeps the peak
+                    # stagnation probe (cl_stagnation_probe): the window has
+                    # churned below the advance threshold for `probe`
+                    # iterations — advance anyway, but only from STRENGTH
+                    # (within 0.1 of the advance bar): the round-5 first run
+                    # showed probes fired from a mediocre window (~0.55)
+                    # erode the policy at the too-hard distance faster than
+                    # the downstep can recover it. The downstep safety
+                    # reverts over-reaches; best-checkpoint keeps the peak
                     new_dist = min(
                         float(self.env_state.target_dist)
                         + cfg.curriculum_thresholds.cl_switch_delta,

@@ -14,11 +14,16 @@ Queries clamp to the tile window exactly like ``_get_heights`` does (:1951-1952)
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# A/B knob for the merged stage-2 sampling contraction (read at import —
+# set BENCH_MERGE3=0 before python starts to select the two-dot form)
+_MERGE3 = os.environ.get("BENCH_MERGE3", "1") == "1"
 
 
 class TerrainArrays(NamedTuple):
@@ -590,17 +595,27 @@ def sample_patch_bilinear_fused(patch_z, xs, ys, hs, h, w, env_terrain_origin,
                         preferred_element_type=jnp.float32)      # (2P, 2*py)
         # round-once bf16 intermediate, as in the separable form
         A2 = A2.astype(jnp.bfloat16).reshape(2 * P, 2, py)       # (q, l, y)
-        # ONE stage-2 contraction for value/dhdx/dhdy: rows [A2; A2[:P]]
-        # against [Wy; Wy; dWy] — identical f32 products in identical
-        # accumulation order as the previous two-dot form (bitwise equal),
-        # one batched op instead of two (round-5 op-count lever)
-        A3 = jnp.concatenate([A2, A2[:P]], axis=0)               # (3P, 2, py)
-        W3 = jnp.concatenate([Wy, Wy, dWy], axis=0)              # (3P, py)
-        out = jnp.einsum("qly,qy->ql", A3, W3,
-                         preferred_element_type=jnp.float32)     # (3P, 2)
-    height = out[:P]                                             # (P, 2)
-    dhdx = out[P:2 * P]
-    dhdy = out[2 * P:]
+        if _MERGE3:
+            # ONE stage-2 contraction for value/dhdx/dhdy: rows [A2; A2[:P]]
+            # against [Wy; Wy; dWy] — identical f32 products in identical
+            # accumulation order as the two-dot form (bitwise equal), one
+            # batched op instead of two at the cost of the A3 concat's
+            # traffic (A/B knob BENCH_MERGE3)
+            A3 = jnp.concatenate([A2, A2[:P]], axis=0)           # (3P, 2, py)
+            W3 = jnp.concatenate([Wy, Wy, dWy], axis=0)          # (3P, py)
+            out = jnp.einsum("qly,qy->ql", A3, W3,
+                             preferred_element_type=jnp.float32)  # (3P, 2)
+            height = out[:P]                                     # (P, 2)
+            dhdx = out[P:2 * P]
+            dhdy = out[2 * P:]
+        else:
+            Wy2 = jnp.concatenate([Wy, Wy], axis=0)              # (2P, py)
+            out = jnp.einsum("qly,qy->ql", A2, Wy2,
+                             preferred_element_type=jnp.float32)  # (2P, 2)
+            dhdy = jnp.einsum("ply,py->pl", A2[:P], dWy,
+                              preferred_element_type=jnp.float32)  # (P, 2)
+            height = out[:P]
+            dhdx = out[P:]
     return height, jnp.stack([dhdx, dhdy], axis=-1)             # (P,2), (P,2,2)
 
 

@@ -197,6 +197,12 @@ def build_cfg(args):
             # the committed entry-blocker for the entropy-inflation trap
             # (TRAINING_NOTES round 2) becomes a goal-strategy default
             args.max_noise_std = 1.0
+        if args.entropy_coef is None:
+            # round 5: entropy 0 (see the flag help; the v1 defaults run
+            # rode the std ceiling at 1.0 for 10k iterations and eroded)
+            args.entropy_coef = 0.0
+    if args.entropy_coef is None:
+        args.entropy_coef = 0.01
     elif args.cl_dist_mix:
         cfg.curriculum_thresholds.cl_dist_mix = args.cl_dist_mix
     return cfg
@@ -420,9 +426,13 @@ def parse_args(argv=None):
     p.add_argument("--reset_action_std", type=float, default=None,
                    help="on resume, reset the policy std parameter to this "
                         "value (deflates entropy-driven std inflation)")
-    p.add_argument("--entropy_coef", type=float, default=0.01,
-                   help="entropy bonus coefficient (reference default 0.01; "
-                        "lower damps late-run policy-std inflation)")
+    p.add_argument("--entropy_coef", type=float, default=None,
+                   help="default 0.0 for --strategy goal (round 5: with the "
+                        "published 0.01 the std rides the ceiling at 1.0 "
+                        "all run — KL 0.03-0.11 at the LR floor — and the "
+                        "maximally-noisy policy erodes at precision "
+                        "distances; entropy 0 is the proven staged-recipe "
+                        "setting), else the published 0.01")
     p.add_argument("--cl_goal_target_dist", type=float, default=None,
                    help="override the fix-target curriculum cap (published "
                         "4.0; ~3.0 keeps valid_goal targets inside the "
