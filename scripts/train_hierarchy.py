@@ -97,6 +97,24 @@ def build_cfg(args):
     cfg.commands.sampling_based_planning = not args.no_planner
     cfg.commands.plan_interval = args.plan_interval
 
+    # fix-target curriculum over the goal distance (round 5). The reference
+    # config block carries curriculum values (cl_start 1.2, cl_goal 3.2,
+    # delta 0.2, threshold 0.6 — train_hierarchy_2.py:140-144) but ships
+    # with cl_fix_target=False, and the task never bootstraps at a fixed
+    # 3.5 m: the stock-parity 10k run (docs/hierarchy_r5_stock_metrics.jsonl)
+    # settles into abstention (stand + eat the stalling penalty) with zero
+    # reaches. --no_curriculum restores the stock-parity behavior.
+    if not args.no_curriculum:
+        ct = cfg.curriculum_thresholds
+        ct.cl_fix_target = True
+        ct.cl_start_target_dist = 1.2
+        ct.cl_goal_target_dist = 3.2
+        ct.cl_switch_delta = 0.2
+        ct.cl_switch_threshold = 0.6
+        ct.cl_downstep_threshold = 0.3
+        ct.cl_dist_mix = 0.25
+        ct.cl_stagnation_probe = 600
+
     cfg.control.control_type = "actuator_net" if not args.pd_control else "P"
     cfg.domain_rand.randomize_lag_timesteps = True
     cfg.normalization.clip_actions = 10.0
@@ -113,10 +131,14 @@ def main(args):
     cfg = build_cfg(args)
     env = LeggedEnv(cfg)
     print(f"env: {env.num_envs} envs | obs {env.num_obs} | rewards {env.reward_names}")
+    # std ceiling + zero entropy: the goal-task round-5 lessons (the std
+    # rides the ceiling under entropy 0.01 and the maximally-noisy policy
+    # cannot hold precision goals — docs/TRAINING_NOTES.md round 5)
     runner = Runner(env, runner_args=RunnerArgs(),
-                    ppo_args=PPOArgs(learning_rate=args.learning_rate),
-                    ac_args=ACArgs(), logdir=args.logdir, seed=args.seed,
-                    num_devices=args.num_devices)
+                    ppo_args=PPOArgs(learning_rate=args.learning_rate,
+                                     entropy_coef=0.0),
+                    ac_args=ACArgs(max_noise_std=1.0), logdir=args.logdir,
+                    seed=args.seed, num_devices=args.num_devices)
     return runner.learn(num_learning_iterations=args.iterations)
 
 
@@ -149,4 +171,8 @@ if __name__ == "__main__":
                         "default — the only dense positive term otherwise "
                         "is the sparse local-goal bonus)")
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--no_curriculum", action="store_true",
+                   help="stock reference parity: fixed 3.5 m goals, no "
+                        "fix-target curriculum (never bootstraps — see "
+                        "build_cfg)")
     main(p.parse_args())
