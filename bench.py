@@ -98,12 +98,12 @@ def build(num_envs=None, lane_engine=None):
             "BENCH_PMS_DIRECT", "0") != "1"
 
     env = LeggedEnv(cfg)
-    # round-5 PPO data-path A/B knobs: BENCH_SHUFFLE=0 restores the sorted
-    # permutation, BENCH_WINDOW=1 swaps stored obs-history rows for the
-    # windowed re-gather (default OFF — measured -5.5% at 4096; the knob
-    # trades time for K x rollout-buffer memory)
+    # round-5 PPO data-path A/B knobs (both default OFF — see the PPOArgs
+    # docstrings for the measured tradeoffs): BENCH_SHUFFLE=1 swaps the
+    # sorted permutation for the O(B) bijection, BENCH_WINDOW=1 swaps
+    # stored obs-history rows for the windowed re-gather
     args = PPOArgs(
-        cheap_shuffle=os.environ.get("BENCH_SHUFFLE", "1") == "1",
+        cheap_shuffle=os.environ.get("BENCH_SHUFFLE", "0") == "1",
         windowed_history=os.environ.get("BENCH_WINDOW", "0") == "1")
     alg = PPO(env, args=args)
     ts = alg.init(jax.random.key(0))

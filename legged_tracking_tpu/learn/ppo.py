@@ -91,8 +91,13 @@ class PPOArgs:
     # round-5 batch-superlinearity levers (docs/CHIP_RUNBOOK.md env-count
     # knee): replace the O(B log B) device sort behind
     # jax.random.permutation with an O(B) bijection (measured NEUTRAL at
-    # 4096 envs — 364.1k vs 363.6k — and removes the superlinear sort term
-    # at large B; default ON), and optionally stop storing the
+    # 4096 envs — 364.1k vs 363.6k; default OFF because the affine perm's
+    # structured minibatch-to-shard groupings amplify cross-device
+    # reduction-order noise ~4x, 7.2e-4 vs 1.8e-4 post-update param
+    # delta over 2 iterations, beyond the repo's 2e-4 sharding-invariance
+    # bar — tests/test_distributed.py::test_update_path_invariance; flip
+    # ON when batch is huge and strict layout invariance is not needed),
+    # and optionally stop storing the
     # K-times-redundant obs-history frames in the rollout buffer (windows
     # re-gathered contiguously at minibatch assembly — bitwise-equal
     # histories + tests, but the gather MEASURED -5.5% at 4096 envs, so
@@ -102,7 +107,7 @@ class PPOArgs:
     # auto-disables under normalize_obs (stored histories there are
     # whitened with per-step running stats a post-hoc gather cannot
     # replay).
-    cheap_shuffle: bool = True
+    cheap_shuffle: bool = False
     windowed_history: bool = False
     # eval split: trailing cfg.env.num_eval_envs envs act with the
     # deterministic teacher instead of the student (Runner.learn eval_expert,

@@ -15,5 +15,5 @@ run "two-dot stage2 (BENCH_MERGE3=0) 4096"  BENCH_MERGE3=0
 run "knee 8192 default"                     BENCH_NUM_ENVS=8192
 run "knee 16384 default"                    BENCH_NUM_ENVS=16384
 run "knee 16384 windowed history"           BENCH_NUM_ENVS=16384 BENCH_WINDOW=1
-run "knee 16384 sorted shuffle"             BENCH_NUM_ENVS=16384 BENCH_SHUFFLE=0
+run "knee 16384 cheap shuffle"              BENCH_NUM_ENVS=16384 BENCH_SHUFFLE=1
 echo "=== phase4 done $(date +%H:%M:%S) ==="
