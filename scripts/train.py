@@ -197,11 +197,12 @@ def build_cfg(args):
             # the committed entry-blocker for the entropy-inflation trap
             # (TRAINING_NOTES round 2) becomes a goal-strategy default
             args.max_noise_std = 1.0
-        if args.entropy_coef is None:
-            # round 5: entropy 0 (see the flag help; the v1 defaults run
-            # rode the std ceiling at 1.0 for 10k iterations and eroded)
-            args.entropy_coef = 0.0
     if args.entropy_coef is None:
+        # keep the published 0.01 even for --strategy goal: the round-5
+        # A/B pair (docs/TRAINING_NOTES.md) showed entropy 0 collapses
+        # HARDER at cold start (v2 ended reached 0.11 with negative
+        # returns vs v1's 0.43) — zero entropy is the STAGE-B setting,
+        # where it resumes an already-competent policy
         args.entropy_coef = 0.01
     elif args.cl_dist_mix:
         cfg.curriculum_thresholds.cl_dist_mix = args.cl_dist_mix
@@ -427,12 +428,11 @@ def parse_args(argv=None):
                    help="on resume, reset the policy std parameter to this "
                         "value (deflates entropy-driven std inflation)")
     p.add_argument("--entropy_coef", type=float, default=None,
-                   help="default 0.0 for --strategy goal (round 5: with the "
-                        "published 0.01 the std rides the ceiling at 1.0 "
-                        "all run — KL 0.03-0.11 at the LR floor — and the "
-                        "maximally-noisy policy erodes at precision "
-                        "distances; entropy 0 is the proven staged-recipe "
-                        "setting), else the published 0.01")
+                   help="entropy bonus (default: the published 0.01). The "
+                        "round-5 cold-start A/B: 0.01 rides the std "
+                        "ceiling and erodes slowly; 0.0 sharpens early "
+                        "then collapses harder — use 0 only when resuming "
+                        "a competent policy (stage B, tools/goal_recipe.sh)")
     p.add_argument("--cl_goal_target_dist", type=float, default=None,
                    help="override the fix-target curriculum cap (published "
                         "4.0; ~3.0 keeps valid_goal targets inside the "
