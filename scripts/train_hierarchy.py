@@ -107,7 +107,11 @@ def build_cfg(args):
     if not args.no_curriculum:
         ct = cfg.curriculum_thresholds
         ct.cl_fix_target = True
-        ct.cl_start_target_dist = 1.2
+        # 0.6 m bootstrap (not the reference block's 1.2): the goal task
+        # bootstraps from 0.6 in ~400 iterations on this engine; at a 1.2 m
+        # start the hierarchy run showed positive goal-ward exploration but
+        # zero reaches in 2k iterations
+        ct.cl_start_target_dist = 0.6
         ct.cl_goal_target_dist = 3.2
         ct.cl_switch_delta = 0.2
         ct.cl_switch_threshold = 0.6
