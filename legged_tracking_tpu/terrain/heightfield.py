@@ -21,9 +21,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# A/B knob for the merged stage-2 sampling contraction (read at import —
-# set BENCH_MERGE3=0 before python starts to select the two-dot form)
-_MERGE3 = os.environ.get("BENCH_MERGE3", "1") == "1"
+# A/B knob for the merged stage-2 sampling contraction (read at import).
+# Default OFF: the merged single-contraction form saves one batched op per
+# substep but pays the A3 concat's traffic — measured 363.8-364.0k vs the
+# two-dot form's 366.97k env-steps/s at the 4096 bench (round 5).
+_MERGE3 = os.environ.get("BENCH_MERGE3", "0") == "1"
 
 
 class TerrainArrays(NamedTuple):
