@@ -138,9 +138,12 @@ def main(args):
     # std ceiling + zero entropy: the goal-task round-5 lessons (the std
     # rides the ceiling under entropy 0.01 and the maximally-noisy policy
     # cannot hold precision goals — docs/TRAINING_NOTES.md round 5)
-    runner = Runner(env, runner_args=RunnerArgs(),
+    runner = Runner(env,
+                    runner_args=RunnerArgs(
+                        resume=args.resume,
+                        critic_warmup_iters=args.critic_warmup),
                     ppo_args=PPOArgs(learning_rate=args.learning_rate,
-                                     entropy_coef=0.0),
+                                     entropy_coef=args.entropy_coef),
                     ac_args=ACArgs(max_noise_std=1.0), logdir=args.logdir,
                     seed=args.seed, num_devices=args.num_devices)
     return runner.learn(num_learning_iterations=args.iterations)
@@ -179,4 +182,8 @@ if __name__ == "__main__":
                    help="stock reference parity: fixed 3.5 m goals, no "
                         "fix-target curriculum (never bootstraps — see "
                         "build_cfg)")
+    p.add_argument("--resume", type=str, default="",
+                   help="checkpoint to resume (curriculum state included)")
+    p.add_argument("--critic_warmup", type=int, default=0)
+    p.add_argument("--entropy_coef", type=float, default=0.0)
     main(p.parse_args())
