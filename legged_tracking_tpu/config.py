@@ -296,6 +296,17 @@ class CurriculumThresholdsCfg:
     # threshold at one distance for 7000 iterations
     # (docs/goal_r4_10k_metrics.jsonl).  0 = off.
     cl_stagnation_probe: int = 0
+    # beyond-reference (round 5): retention at the curriculum wall.  When a
+    # downstep fires (reach window collapsed below cl_downstep_threshold),
+    # ALSO restore the best-scoring train_state snapshot (params + optimizer
+    # moments + obs_rms) kept by the runner's best-checkpoint tracking,
+    # instead of continuing to train the eroded policy at the easier
+    # distance.  Every round-5 long run (both 10k goal runs and the
+    # hierarchy stage-B continuation) died in the same mode: a failed
+    # excursion at the frontier erodes the policy faster than the downstep
+    # can re-train it (docs/TRAINING_NOTES.md).  Restoring the peak turns a
+    # collapse into a retry-from-strength.  False = pre-round-5 behavior.
+    cl_restore_best_on_downstep: bool = False
     # velocity-task thresholds (fraction of max reward per term)
     tracking_lin_vel: float = 0.8
     tracking_ang_vel: float = 0.7

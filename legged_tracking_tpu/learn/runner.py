@@ -148,8 +148,28 @@ class Runner:
         if cats:
             self._slot_cache = SlotCache(len(cats))
         self.history = []
+        # in-memory best-score snapshot (cl_restore_best_on_downstep + the
+        # ac_weights_best.pkl files).  train_iteration donates its
+        # train_state buffers, so a held reference would be DELETED on the
+        # next iteration — snapshot and restore must deep-copy (one extra
+        # params+optimizer copy of HBM, see _copy_state).
+        self._best_score = (-1.0, -1.0)
+        self._best_train_state = None
+        self._best_it = -1
+        self._best_target_dist = 0.0
+        self._best_dirty = False
+        self._restore_count = 0
 
     # --------------------------------------------------------------- helpers
+    @staticmethod
+    def _copy_state(ts):
+        """Deep-copy a train_state's device buffers.  Needed because
+        train_iteration_jit donates its train_state inputs: a snapshot held
+        by reference is deleted one iteration later, and a restored snapshot
+        would be consumed by the first post-restore iteration."""
+        return jax.tree.map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, ts)
+
     def _rep(self, x, dtype=np.float32):
         """Host value → device array, replicated across every process's
         devices when the global mesh is active (host-written leaves like the
@@ -162,25 +182,29 @@ class Runner:
         return jnp.asarray(x)
 
     # ------------------------------------------------------------------ io
-    def save(self, path: str):
-        params_np = jax.tree.map(np.asarray, self.train_state.params)
+    def save(self, path: str, train_state=None, target_dist=None):
+        """Pickle a checkpoint.  train_state/target_dist default to the
+        CURRENT state; the best-checkpoint path passes its retained snapshot
+        (and that snapshot's curriculum distance) instead."""
+        ts = self.train_state if train_state is None else train_state
+        if target_dist is None:
+            target_dist = (float(self.env_state.target_dist)
+                           if self.env_state is not None else 0.0)
+        params_np = jax.tree.map(np.asarray, ts.params)
         ckpt = {
             "params": params_np,
-            "opt_state": jax.tree.map(np.asarray, self.train_state.opt_state),
-            "adapt_opt_state": jax.tree.map(np.asarray,
-                                            self.train_state.adapt_opt_state),
-            "learning_rate": float(self.train_state.learning_rate),
-            "iteration": int(self.train_state.iteration),
-            "target_dist": float(self.env_state.target_dist)
-            if self.env_state is not None else 0.0,
+            "opt_state": jax.tree.map(np.asarray, ts.opt_state),
+            "adapt_opt_state": jax.tree.map(np.asarray, ts.adapt_opt_state),
+            "learning_rate": float(ts.learning_rate),
+            "iteration": int(ts.iteration),
+            "target_dist": float(target_dist),
         }
         # command-curriculum state (reference pickles curriculum distributions,
         # ppo_cse/__init__.py:224-239 / resume :97-104)
         if getattr(self.env_state, "curriculum_weights", None) is not None:
             ckpt["curriculum_weights"] = np.asarray(self.env_state.curriculum_weights)
-        if self.train_state.obs_rms is not None:
-            ckpt["obs_rms"] = jax.tree.map(np.asarray,
-                                           self.train_state.obs_rms._asdict())
+        if ts.obs_rms is not None:
+            ckpt["obs_rms"] = jax.tree.map(np.asarray, ts.obs_rms._asdict())
         with open(path, "wb") as f:
             pickle.dump(ckpt, f)
 
@@ -326,6 +350,17 @@ class Runner:
                         target_dist=self._rep(new_dist))
                     self._reached_window.clear()
                     self._its_since_switch = 0
+                    if (getattr(cfg.curriculum_thresholds,
+                                "cl_restore_best_on_downstep", False)
+                            and self._best_train_state is not None):
+                        # retention at the wall (TRAINING_NOTES round 5):
+                        # a downstep means the frontier excursion failed and
+                        # eroded the policy — resume the peak snapshot
+                        # rather than re-training the eroded weights at the
+                        # easier distance
+                        self.train_state = self._copy_state(
+                            self._best_train_state)
+                        self._restore_count += 1
                 elif (probe > 0 and win_full
                       and win_mean >= max(
                           down,
@@ -369,6 +404,7 @@ class Runner:
                 rec.update({"it": it, "fps": fps, "timesteps": self.tot_timesteps})
                 if cfg.curriculum_thresholds.cl_fix_target:
                     rec["target_dist"] = float(self.env_state.target_dist)
+                    rec["restored_best_total"] = self._restore_count
                 for k2, v in self._dist_cache.get_summary().items():
                     rec["window_" + k2] = float(v)
                 # command-curriculum telemetry: per-category SlotCache
@@ -385,6 +421,27 @@ class Runner:
                             for ci, cname in enumerate(self.env.category_names):
                                 rec[f"curriculum_{k2}_{cname}"] = float(v[ci])
                 self.history.append(rec)
+                # best-score tracking: long sparse-reward runs erode past
+                # their peak (docs/TRAINING_NOTES.md — both goal runs
+                # decayed from ~it1400 with std FLAT, a frontier-erosion
+                # mode distinct from std inflation).  Snapshot in memory on
+                # EVERY log (feeds cl_restore_best_on_downstep even without
+                # a logdir); files are written on save iterations below.
+                if update_model:
+                    win = rec.get("window_reached", rec.get("reached_mean"))
+                    if win is not None:
+                        # rank by distance only once the window clears 0.7
+                        # (a fresh advance with a collapsed window is not a
+                        # better artifact than a mastered shorter distance)
+                        td = rec.get("target_dist", 0.0)
+                        score = (td if float(win) >= 0.7 else 0.0, float(win))
+                        if score > self._best_score:
+                            self._best_score = score
+                            self._best_train_state = self._copy_state(
+                                self.train_state)
+                            self._best_it = it
+                            self._best_target_dist = td
+                            self._best_dirty = True
                 if verbose:
                     print(f"it {it:5d} | fps {fps:9.0f} | rew {rec.get('rew_total', 0):8.3f} | "
                           f"eplen {rec['episode_length_mean']:7.1f} | "
@@ -401,29 +458,19 @@ class Runner:
                     and (it % self.runner_args.save_interval == 0) and it > 0):
                 self.save(os.path.join(self.logdir, f"ac_weights_{it:06d}.pkl"))
                 self.save(os.path.join(self.logdir, "ac_weights_last.pkl"))
-                # best-checkpoint tracking: long sparse-reward runs erode
-                # past their peak (docs/TRAINING_NOTES.md — both goal runs
-                # decayed from ~it1400 with std FLAT, a frontier-erosion
-                # mode distinct from std inflation), so keep the best
-                # (curriculum distance, reach window) snapshot alongside
-                # the periodic ones.
-                score = None
-                if self.history:
-                    rec = self.history[-1]
-                    win = rec.get("window_reached", rec.get("reached_mean"))
-                    if win is not None:
-                        # rank by distance only once the window clears 0.7
-                        # (a fresh advance with a collapsed window is not a
-                        # better artifact than a mastered shorter distance)
-                        td = rec.get("target_dist", 0.0)
-                        score = (td if float(win) >= 0.7 else 0.0, float(win))
-                if score is not None and score > getattr(
-                        self, "_best_score", (-1.0, -1.0)):
-                    self._best_score = score
-                    self.save(os.path.join(self.logdir, "ac_weights_best.pkl"))
+                # persist the in-memory best snapshot captured in the log
+                # block above (the saved train_state is the SNAPSHOT, which
+                # may be older than the current one)
+                if self._best_dirty and self._best_train_state is not None:
+                    self._best_dirty = False
+                    self.save(os.path.join(self.logdir, "ac_weights_best.pkl"),
+                              train_state=self._best_train_state,
+                              target_dist=self._best_target_dist)
                     with open(os.path.join(self.logdir, "best.json"), "w") as f:
-                        json.dump({"it": it, "target_dist": score[0],
-                                   "window_reached": score[1]}, f)
+                        json.dump({"it": self._best_it,
+                                   "target_dist": self._best_score[0],
+                                   "window_reached": self._best_score[1],
+                                   "restores": self._restore_count}, f)
 
         if self.logdir:
             self.save(os.path.join(self.logdir, "ac_weights_last.pkl"))

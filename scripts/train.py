@@ -193,6 +193,11 @@ def build_cfg(args):
         cfg.curriculum_thresholds.cl_dist_mix = (
             0.25 if args.cl_dist_mix is None else args.cl_dist_mix)
         cfg.curriculum_thresholds.cl_stagnation_probe = args.cl_probe
+        # retention at the wall (round 5): every long run's failure mode was
+        # post-collapse erosion, so restoring the peak on downstep is a
+        # goal-strategy default (--cl_restore_best 0 reverts)
+        cfg.curriculum_thresholds.cl_restore_best_on_downstep = bool(
+            args.cl_restore_best)
         if args.max_noise_std is None:
             # the committed entry-blocker for the entropy-inflation trap
             # (TRAINING_NOTES round 2) becomes a goal-strategy default
@@ -455,6 +460,12 @@ def parse_args(argv=None):
                         "switch while the reach window is healthy; the "
                         "downstep safety reverts over-reaches (0 = off). "
                         "Only --strategy goal reads it")
+    p.add_argument("--cl_restore_best", type=int, default=1,
+                   help="on a downstep (window collapse), restore the "
+                        "best-score train_state snapshot instead of "
+                        "continuing from the eroded weights (round-5 "
+                        "retention lever; 0 = pre-round-5 behavior). Only "
+                        "--strategy goal reads it")
     p.add_argument("--dr_profile", choices=["regular", "large"], default="",
                    help="train under an eval DR profile's ranges (friction "
                         "0.05-4.5 etc.; learn/domain_randomization_profiles) "

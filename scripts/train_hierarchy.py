@@ -118,6 +118,9 @@ def build_cfg(args):
         ct.cl_downstep_threshold = 0.3
         ct.cl_dist_mix = 0.25
         ct.cl_stagnation_probe = 600
+        # retention at the wall: stage-B died collapsing on the second
+        # 1.0 m (pit-edge) window — restore the peak snapshot on downstep
+        ct.cl_restore_best_on_downstep = True
 
     cfg.control.control_type = "actuator_net" if not args.pd_control else "P"
     cfg.domain_rand.randomize_lag_timesteps = True

@@ -83,6 +83,75 @@ def test_runner_num_devices_path():
     assert np.isfinite(hist[-1].get("rew_total", 0.0))
 
 
+def test_restore_best_on_downstep():
+    """cl_restore_best_on_downstep (round-5 retention lever): a window
+    collapse triggers the downstep AND restores the best-score train_state
+    snapshot, instead of continuing from the eroded weights
+    (docs/TRAINING_NOTES.md — the shared failure mode of every round-5
+    long run)."""
+    env = make_env()
+    ct = env.cfg.curriculum_thresholds
+    ct.cl_fix_target = True
+    ct.cl_start_target_dist = 0.5
+    ct.cl_goal_target_dist = 3.6
+    ct.cl_switch_delta = 0.5
+    ct.cl_switch_threshold = 1.1          # advance can never fire
+    ct.cl_downstep_threshold = 0.5
+    ct.cl_restore_best_on_downstep = True
+    r = _runner(env)
+    r.learn(2, verbose=False)
+    # the first logged record always beats the (-1,-1) sentinel, so a best
+    # snapshot exists now; freeze it as the canonical peak
+    assert r._best_train_state is not None
+    r._best_score = (99.0, 1.0)
+    best_params = jax.tree.map(np.asarray, r._best_train_state.params)
+    dist_before = float(r.env_state.target_dist)
+
+    r.learn(2, verbose=False)             # params move past the snapshot
+    assert any(
+        np.any(np.asarray(a) != b) for a, b in
+        zip(jax.tree.leaves(r.train_state.params),
+            jax.tree.leaves(best_params)))
+
+    # collapse the window: next iteration must downstep AND restore
+    r._reached_window.extend([0.0] * 4000)
+    r.learn(1, verbose=False)
+    assert r._restore_count == 1
+    assert r.history[-1]["restored_best_total"] == 1
+    assert float(r.env_state.target_dist) < dist_before or \
+        dist_before == ct.cl_start_target_dist
+    jax.tree.map(np.testing.assert_array_equal,
+                 jax.tree.map(np.asarray, r.train_state.params), best_params)
+
+    # and training continues cleanly from the restored snapshot
+    hist = r.learn(1, verbose=False)
+    assert np.isfinite(hist[-1]["value_loss"])
+
+
+def test_best_checkpoint_file_is_the_snapshot(tmp_path):
+    """ac_weights_best.pkl must contain the best-score SNAPSHOT (captured at
+    its log iteration), not whatever the current train_state is when a save
+    interval comes around."""
+    env = make_env()
+    env.cfg.curriculum_thresholds.cl_fix_target = True
+    r = Runner(
+        env,
+        runner_args=RunnerArgs(num_steps_per_env=4, log_freq=1,
+                               save_interval=2),
+        ppo_args=PPOArgs(num_steps_per_env=4, num_mini_batches=2,
+                         num_learning_epochs=1),
+        logdir=str(tmp_path), seed=3)
+    r.learn(2, verbose=False)
+    r._best_score = (99.0, 1.0)           # freeze the current best
+    best_params = jax.tree.map(np.asarray, r._best_train_state.params)
+    r._best_dirty = True                  # force the file write at it=2
+    r.learn(3, verbose=False)             # crosses save_interval, params moved
+    import pickle
+    with open(os.path.join(str(tmp_path), "ac_weights_best.pkl"), "rb") as f:
+        ckpt = pickle.load(f)
+    jax.tree.map(np.testing.assert_array_equal, ckpt["params"], best_params)
+
+
 def test_freeze_model_rolls_out_without_updating():
     """--freeze_model parity (reference scripts/train.py:278 ->
     ppo_cse/__init__.py:176): rollout-only iterations leave params and
