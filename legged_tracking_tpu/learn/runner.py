@@ -342,9 +342,9 @@ class Runner:
                     self._its_since_switch = 0
                 elif down > 0.0 and win_full and win_mean < down:
                     # ease the task before the sparse-reward signal dies
+                    cur_dist = float(self.env_state.target_dist)
                     new_dist = max(
-                        float(self.env_state.target_dist)
-                        - cfg.curriculum_thresholds.cl_switch_delta,
+                        cur_dist - cfg.curriculum_thresholds.cl_switch_delta,
                         cfg.curriculum_thresholds.cl_start_target_dist)
                     self.env_state = self.env_state._replace(
                         target_dist=self._rep(new_dist))
@@ -352,12 +352,23 @@ class Runner:
                     self._its_since_switch = 0
                     if (getattr(cfg.curriculum_thresholds,
                                 "cl_restore_best_on_downstep", False)
-                            and self._best_train_state is not None):
+                            and self._best_train_state is not None
+                            and new_dist < cur_dist
+                            and self._best_score[1] >= down):
                         # retention at the wall (TRAINING_NOTES round 5):
-                        # a downstep means the frontier excursion failed and
-                        # eroded the policy — resume the peak snapshot
-                        # rather than re-training the eroded weights at the
-                        # easier distance
+                        # a REAL downstep (distance actually eased) after a
+                        # failed frontier excursion — resume the peak
+                        # snapshot rather than re-training the eroded
+                        # weights.  The two gates matter: while grinding at
+                        # the START distance the window is naturally below
+                        # the threshold, and an ungated restore rolls the
+                        # policy back every window-fill (~25 iterations),
+                        # which measurably PREVENTS bootstrapping (this
+                        # session's first validation run: 17 restores by
+                        # it 440, window stuck at 0.17 where the ungated
+                        # baseline bootstraps).  Restoring to a snapshot
+                        # whose own window never cleared the downstep bar
+                        # would be equally pointless.
                         self.train_state = self._copy_state(
                             self._best_train_state)
                         self._restore_count += 1

@@ -105,7 +105,6 @@ def test_restore_best_on_downstep():
     assert r._best_train_state is not None
     r._best_score = (99.0, 1.0)
     best_params = jax.tree.map(np.asarray, r._best_train_state.params)
-    dist_before = float(r.env_state.target_dist)
 
     r.learn(2, verbose=False)             # params move past the snapshot
     assert any(
@@ -113,13 +112,22 @@ def test_restore_best_on_downstep():
         zip(jax.tree.leaves(r.train_state.params),
             jax.tree.leaves(best_params)))
 
-    # collapse the window: next iteration must downstep AND restore
+    # collapse the window at the START distance: downstep branch fires but
+    # the distance cannot ease, so NO restore (the ungated version rolled
+    # the policy back every window-fill and prevented bootstrapping)
+    assert float(r.env_state.target_dist) == ct.cl_start_target_dist
+    r._reached_window.extend([0.0] * 4000)
+    r.learn(1, verbose=False)
+    assert r._restore_count == 0
+
+    # collapse at an ADVANCED distance: downstep must ease AND restore
+    r.env_state = r.env_state._replace(
+        target_dist=jax.numpy.asarray(1.0, jax.numpy.float32))
     r._reached_window.extend([0.0] * 4000)
     r.learn(1, verbose=False)
     assert r._restore_count == 1
     assert r.history[-1]["restored_best_total"] == 1
-    assert float(r.env_state.target_dist) < dist_before or \
-        dist_before == ct.cl_start_target_dist
+    assert float(r.env_state.target_dist) == 0.5
     jax.tree.map(np.testing.assert_array_equal,
                  jax.tree.map(np.asarray, r.train_state.params), best_params)
 
