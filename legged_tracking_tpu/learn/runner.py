@@ -353,8 +353,15 @@ class Runner:
                     if (getattr(cfg.curriculum_thresholds,
                                 "cl_restore_best_on_downstep", False)
                             and self._best_train_state is not None
-                            and new_dist < cur_dist
+                            and new_dist < cur_dist - 1e-4
                             and self._best_score[1] >= down):
+                        # (the 1e-4 slack matters: cur_dist round-trips
+                        # through a float32 device scalar, so at the float
+                        # floor 0.6 it reads 0.60000002384 — strictly
+                        # greater than the python-double start distance —
+                        # and an exact < fired a restore on every
+                        # window-fill at the floor; real downsteps differ
+                        # by cl_switch_delta >= 0.1)
                         # retention at the wall (TRAINING_NOTES round 5):
                         # a REAL downstep (distance actually eased) after a
                         # failed frontier excursion — resume the peak

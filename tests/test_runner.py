@@ -92,7 +92,10 @@ def test_restore_best_on_downstep():
     env = make_env()
     ct = env.cfg.curriculum_thresholds
     ct.cl_fix_target = True
-    ct.cl_start_target_dist = 0.5
+    # 0.6 is deliberately NOT float32-representable: the device scalar
+    # reads back 0.60000002384 > 0.6, which made an exact `new < cur` gate
+    # fire restores on every window-fill at the floor (live-run regression)
+    ct.cl_start_target_dist = 0.6
     ct.cl_goal_target_dist = 3.6
     ct.cl_switch_delta = 0.5
     ct.cl_switch_threshold = 1.1          # advance can never fire
@@ -115,19 +118,19 @@ def test_restore_best_on_downstep():
     # collapse the window at the START distance: downstep branch fires but
     # the distance cannot ease, so NO restore (the ungated version rolled
     # the policy back every window-fill and prevented bootstrapping)
-    assert float(r.env_state.target_dist) == ct.cl_start_target_dist
+    assert abs(float(r.env_state.target_dist) - 0.6) < 1e-6
     r._reached_window.extend([0.0] * 4000)
     r.learn(1, verbose=False)
     assert r._restore_count == 0
 
     # collapse at an ADVANCED distance: downstep must ease AND restore
     r.env_state = r.env_state._replace(
-        target_dist=jax.numpy.asarray(1.0, jax.numpy.float32))
+        target_dist=jax.numpy.asarray(1.1, jax.numpy.float32))
     r._reached_window.extend([0.0] * 4000)
     r.learn(1, verbose=False)
     assert r._restore_count == 1
     assert r.history[-1]["restored_best_total"] == 1
-    assert float(r.env_state.target_dist) == 0.5
+    assert abs(float(r.env_state.target_dist) - 0.6) < 1e-6
     jax.tree.map(np.testing.assert_array_equal,
                  jax.tree.map(np.asarray, r.train_state.params), best_params)
 
